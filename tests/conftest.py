@@ -1,0 +1,27 @@
+"""Test harness: force CPU with 8 virtual devices so sharding tests run
+anywhere (the driver validates real-TPU paths separately).
+
+Note: jax may already be imported by the interpreter's sitecustomize, so
+we cannot rely on env vars alone — ``jax.config.update`` works post-import
+as long as no backend has been initialized yet.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
