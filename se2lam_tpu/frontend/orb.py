@@ -1,0 +1,293 @@
+"""ORB feature extraction as a single fused-array program.
+
+TPU-native re-derivation of the reference extractor
+(src/ORBextractor.cpp:463-833). Same observable behavior — image pyramid,
+per-cell FAST with high→low threshold fallback, per-cell quotas with
+surplus redistribution, intensity-centroid orientation, Gaussian blur,
+256-bit steered BRIEF — but expressed as dense batched ops:
+
+- per-cell FAST → one dense score map + reshape into cells + ``top_k``
+- quota redistribution loop (src/ORBextractor.cpp:653-679) → one
+  two-phase priority ``top_k`` (in-quota candidates outrank surplus)
+- IC_Angle per keypoint (src/ORBextractor.cpp:130-157) → one 31x31
+  moment convolution per level (MXU) + gather at keypoints
+- per-keypoint descriptor loop → one batched rotate+gather
+
+Outputs are fixed-capacity padded arrays: every frame yields exactly
+``n_slots`` keypoint records with a validity mask, so downstream stages
+compile once.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fast import fast_score, nms3x3
+from .pattern import HALF_PATCH, N_BITS, PATTERN_X, PATTERN_Y
+
+__all__ = ["OrbConfig", "OrbFeatures", "make_extractor", "pack_bits"]
+
+
+class OrbConfig(NamedTuple):
+    """Static extractor configuration (Settings.yml: max_feature_num,
+    scale_facotr [sic], max_level — src/Config.cpp:137-139)."""
+
+    height: int
+    width: int
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 5
+    fast_high: float = 20.0   # reference fastTh default
+    fast_low: float = 7.0     # fallback threshold (src/ORBextractor.cpp:621)
+    min_high_corners: int = 3  # "<=3 → retry at low th"
+    edge: int = 16            # EDGE_THRESHOLD border exclusion
+    features_per_cell: int = 5
+
+    @property
+    def scales(self):
+        return [self.scale_factor ** l for l in range(self.n_levels)]
+
+    @property
+    def level_sigma2(self):
+        return np.asarray([s * s for s in self.scales], np.float32)
+
+    @property
+    def level_quotas(self) -> Sequence[int]:
+        """Geometric per-level feature budget (src/ORBextractor.cpp:484-494)."""
+        f = 1.0 / self.scale_factor
+        n0 = self.n_features * (1 - f) / (1 - f ** self.n_levels)
+        quotas = [int(round(n0 * (f ** l))) for l in range(self.n_levels - 1)]
+        quotas.append(max(self.n_features - sum(quotas), 0))
+        return quotas
+
+    @property
+    def n_slots(self) -> int:
+        return sum(self.level_quotas)
+
+
+class OrbFeatures(NamedTuple):
+    """Fixed-capacity keypoint + descriptor record for one frame."""
+
+    xy: jnp.ndarray        # (N, 2) level-0 pixel coords (x, y)
+    angle: jnp.ndarray     # (N,) radians
+    octave: jnp.ndarray    # (N,) int32
+    response: jnp.ndarray  # (N,) float32
+    valid: jnp.ndarray     # (N,) bool
+    desc_bits: jnp.ndarray  # (N, 8) uint32 packed 256-bit descriptor
+    desc_pm1: jnp.ndarray   # (N, 256) int8 ±1 view for MXU matching
+
+    @property
+    def n(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def _gauss_kernel7(sigma=2.0):
+    x = np.arange(-3, 4, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _blur7(img):
+    """Separable 7x7 Gaussian, sigma 2 (src/ORBextractor.cpp:769)."""
+    k = jnp.asarray(_gauss_kernel7())
+    img4 = img[None, None]  # NCHW
+    kh = k.reshape(1, 1, 1, 7)
+    kv = k.reshape(1, 1, 7, 1)
+    out = jax.lax.conv_general_dilated(img4, kh, (1, 1), "SAME")
+    out = jax.lax.conv_general_dilated(out, kv, (1, 1), "SAME")
+    return out[0, 0]
+
+
+def _moment_kernels():
+    """31x31 disc-masked first-moment kernels for IC_Angle
+    (src/ORBextractor.cpp:130-157 computes m01/m10 over a radius-15 disc)."""
+    r = HALF_PATCH
+    ys, xs = np.mgrid[-r : r + 1, -r : r + 1].astype(np.float32)
+    mask = (xs * xs + ys * ys <= r * r).astype(np.float32)
+    return np.stack([xs * mask, ys * mask])[:, None]  # (2,1,31,31)
+
+
+_MOMENTS = _moment_kernels()
+
+
+def _orientation_maps(img):
+    """(2, H, W): m10 and m01 maps via convolution."""
+    out = jax.lax.conv_general_dilated(
+        img[None, None], jnp.asarray(_MOMENTS), (1, 1), "SAME"
+    )
+    return out[0]
+
+
+def pack_bits(bits):
+    """(N, 256) {0,1} → (N, 8) uint32 little-endian within each word."""
+    b = bits.reshape(bits.shape[0], 8, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]
+    return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
+
+
+def _level_grid(cfg: OrbConfig, H: int, W: int, quota: int):
+    """Static cell layout for one pyramid level (the analog of
+    levelCols/levelRows at src/ORBextractor.cpp:542-556)."""
+    Hv, Wv = H - 2 * cfg.edge, W - 2 * cfg.edge
+    ncx = max(1, int(round(math.sqrt(quota * Wv / (cfg.features_per_cell * max(Hv, 1))))))
+    ncy = max(1, int(round(ncx * Hv / max(Wv, 1))))
+    cell_h = -(-Hv // ncy)
+    cell_w = -(-Wv // ncx)
+    return ncy, ncx, cell_h, cell_w
+
+
+def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
+    """FAST + cell quotas + redistribution for one level.
+
+    Returns (ys, xs, response, valid) each (quota,) in level pixels.
+    """
+    H, W = img.shape
+    s_high = nms3x3(fast_score(img, cfg.fast_high))
+    s_low = nms3x3(fast_score(img, cfg.fast_low))
+
+    # border mask
+    border = jnp.zeros((H, W), bool).at[
+        cfg.edge : H - cfg.edge, cfg.edge : W - cfg.edge
+    ].set(True)
+    s_high = jnp.where(border, s_high, 0.0)
+    s_low = jnp.where(border, s_low, 0.0)
+
+    ncy, ncx, ch, cw = _level_grid(cfg, H, W, quota)
+
+    def to_cells(s):
+        pad_h = ncy * ch - (H - 2 * cfg.edge)
+        pad_w = ncx * cw - (W - 2 * cfg.edge)
+        v = s[cfg.edge : H - cfg.edge, cfg.edge : W - cfg.edge]
+        v = jnp.pad(v, ((0, pad_h), (0, pad_w)))
+        return v.reshape(ncy, ch, ncx, cw).transpose(0, 2, 1, 3).reshape(
+            ncy * ncx, ch * cw
+        )
+
+    cells_high = to_cells(s_high)
+    cells_low = to_cells(s_low)
+
+    # per-cell high→low threshold fallback (src/ORBextractor.cpp:618-622)
+    n_high = jnp.sum(cells_high > 0, axis=1)
+    use_high = (n_high > cfg.min_high_corners)[:, None]
+    cells = jnp.where(use_high, cells_high, cells_low)
+
+    n_cells = ncy * ncx
+    per_cell_quota = -(-quota // n_cells)
+    k_cell = min(ch * cw, max(4 * per_cell_quota, 8))
+
+    top_scores, top_idx = jax.lax.top_k(cells, k_cell)  # (n_cells, k_cell)
+
+    # two-phase priority: in-quota picks dominate, surplus refills globally
+    # (replaces the iterative redistribution at src/ORBextractor.cpp:653-679)
+    in_quota = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_cells, k_cell), 1)
+        < per_cell_quota
+    )
+    nonzero = top_scores > 0.0
+    priority = jnp.where(nonzero, top_scores, -jnp.inf) + jnp.where(
+        in_quota & nonzero, 1e9, 0.0
+    )
+
+    flat_priority = priority.reshape(-1)
+    flat_scores = top_scores.reshape(-1)
+    cell_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (n_cells, k_cell), 0
+    ).reshape(-1)
+    flat_idx = top_idx.reshape(-1)
+
+    sel_p, sel = jax.lax.top_k(flat_priority, quota)
+    valid = sel_p > 0.0
+    resp = flat_scores[sel]
+    cid = cell_ids[sel]
+    within = flat_idx[sel]
+    cy, cx = cid // ncx, cid % ncx
+    wy, wx = within // cw, within % cw
+    ys = cfg.edge + cy * ch + wy
+    xs = cfg.edge + cx * cw + wx
+    return ys, xs, resp, valid
+
+
+def make_extractor(cfg: OrbConfig):
+    """Build the jittable extractor fn: (H, W) float32 image → OrbFeatures."""
+
+    level_shapes = []
+    for l, s in enumerate(cfg.scales):
+        level_shapes.append(
+            (int(round(cfg.height / s)), int(round(cfg.width / s)))
+        )
+
+    def extract(img):
+        img = img.astype(jnp.float32)
+        outs = []
+        level_img = img
+        for l in range(cfg.n_levels):
+            H, W = level_shapes[l]
+            if l > 0:
+                level_img = jax.image.resize(img, (H, W), "linear")
+            quota = cfg.level_quotas[l]
+            if quota <= 0:
+                continue
+            ys, xs, resp, valid = _select_level_keypoints(cfg, level_img, quota)
+
+            # orientation from moment maps (IC_Angle)
+            moments = _orientation_maps(level_img)
+            m10 = moments[0][ys, xs]
+            m01 = moments[1][ys, xs]
+            angle = jnp.arctan2(m01, m10)
+
+            # steered BRIEF on the blurred level image
+            blur = _blur7(level_img)
+            c, s = jnp.cos(angle), jnp.sin(angle)
+            px = jnp.asarray(PATTERN_X)[None]  # (1, 512)
+            py = jnp.asarray(PATTERN_Y)[None]
+            sx = jnp.round(
+                xs[:, None].astype(jnp.float32) + px * c[:, None] - py * s[:, None]
+            ).astype(jnp.int32)
+            sy = jnp.round(
+                ys[:, None].astype(jnp.float32) + px * s[:, None] + py * c[:, None]
+            ).astype(jnp.int32)
+            sx = jnp.clip(sx, 0, W - 1)
+            sy = jnp.clip(sy, 0, H - 1)
+            samples = blur[sy, sx]  # (quota, 512)
+            p_vals = samples[:, 0::2]
+            q_vals = samples[:, 1::2]
+            bits = (p_vals < q_vals).astype(jnp.uint8)  # (quota, 256)
+
+            scale = cfg.scales[l]
+            outs.append(
+                dict(
+                    xy=jnp.stack([xs, ys], -1).astype(jnp.float32) * scale,
+                    angle=angle,
+                    octave=jnp.full(quota, l, jnp.int32),
+                    response=resp,
+                    valid=valid,
+                    bits=bits,
+                )
+            )
+
+        xy = jnp.concatenate([o["xy"] for o in outs])
+        angle = jnp.concatenate([o["angle"] for o in outs])
+        octave = jnp.concatenate([o["octave"] for o in outs])
+        response = jnp.concatenate([o["response"] for o in outs])
+        valid = jnp.concatenate([o["valid"] for o in outs])
+        bits = jnp.concatenate([o["bits"] for o in outs])
+
+        desc_bits = pack_bits(bits)
+        desc_pm1 = (1 - 2 * bits.astype(jnp.int8)).astype(jnp.int8)
+        # zero out invalid slots so matchers can rely on masks alone
+        desc_pm1 = jnp.where(valid[:, None], desc_pm1, 0)
+        return OrbFeatures(
+            xy=xy,
+            angle=angle,
+            octave=octave,
+            response=response,
+            valid=valid,
+            desc_bits=desc_bits,
+            desc_pm1=desc_pm1,
+        )
+
+    return extract
