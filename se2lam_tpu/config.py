@@ -1,0 +1,291 @@
+"""Typed system configuration.
+
+TPU-native replacement for the reference's ~50 static globals read from two
+OpenCV ``FileStorage`` YAML files (reference: src/Config.cpp:83-186,
+include/se2lam/Config.h). Same key names are honored — including the
+load-bearing typo ``scale_facotr`` (src/Config.cpp:137) — but the result is
+an immutable dataclass passed explicitly, not process-wide mutable statics.
+
+Also holds the *capacity plan*: the fixed array sizes that make every stage
+compile to static shapes (keyframe / map-point / local-window capacities).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+__all__ = ["Capacity", "SystemConfig", "read_cv_yaml"]
+
+
+# ---------------------------------------------------------------------------
+# OpenCV FileStorage YAML reader (no opencv dependency)
+# ---------------------------------------------------------------------------
+
+def read_cv_yaml(path: str) -> dict:
+    """Parse an OpenCV FileStorage YAML file into a flat dict.
+
+    Supports scalars and ``!!opencv-matrix`` nodes (returned as float64
+    ndarrays). This covers everything the reference reads
+    (src/Config.cpp:83-186: CamConfig.yml / Settings.yml).
+    """
+    with open(path) as f:
+        text = f.read()
+    # strip directives/comments
+    lines = []
+    for ln in text.splitlines():
+        if ln.startswith("%YAML") or ln.strip() == "---":
+            continue
+        ln = re.sub(r"(^|\s)#.*$", "", ln)
+        if ln.strip():
+            lines.append(ln)
+
+    out: dict = {}
+    i = 0
+    while i < len(lines):
+        m = re.match(r"^(\w[\w.]*)\s*:\s*(.*)$", lines[i])
+        if not m:
+            i += 1
+            continue
+        key, rest = m.group(1), m.group(2).strip()
+        if rest.startswith("!!opencv-matrix") or rest == "":
+            # matrix node: rows / cols / dt / data over following lines
+            block = {}
+            i += 1
+            data_txt = ""
+            in_data = False
+            while i < len(lines):
+                ln = lines[i]
+                if re.match(r"^\w[\w.]*\s*:", ln) and not ln.startswith(" "):
+                    break
+                sm = re.match(r"^\s+(rows|cols|dt)\s*:\s*(\S+)", ln)
+                if sm:
+                    block[sm.group(1)] = sm.group(2)
+                    i += 1
+                    continue
+                dm = re.match(r"^\s+data\s*:\s*(.*)$", ln)
+                if dm:
+                    in_data = True
+                    data_txt += dm.group(1)
+                    i += 1
+                    continue
+                if in_data:
+                    data_txt += " " + ln.strip()
+                    i += 1
+                    continue
+                i += 1
+            nums = [float(x) for x in re.findall(r"[-+0-9.eE]+", data_txt)]
+            rows = int(block.get("rows", 1))
+            cols = int(block.get("cols", len(nums)))
+            out[key] = np.asarray(nums, np.float64).reshape(rows, cols)
+            continue
+        # scalar
+        try:
+            out[key] = int(rest)
+        except ValueError:
+            try:
+                out[key] = float(rest)
+            except ValueError:
+                out[key] = rest.strip('"')
+        i += 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Capacity plan
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Capacity:
+    """Static array capacities — the TPU analog of the reference's unbounded
+    pointer graph. All pipeline stages compile once against these shapes."""
+
+    max_kfs: int = 256          # keyframe slots (Kmax)
+    max_mps: int = 8192         # map-point slots (Mmax)
+    n_features: int = 1000      # feature slots per frame (MaxFtrNumber)
+    max_obs_per_mp: int = 12    # observation fan-in per map point
+    local_kfs: int = 24         # local-window KF slots (3-hop covisibility)
+    local_ref_kfs: int = 24     # fixed frontier KF slots (RefKFs)
+    local_mps: int = 2048       # local-window MP slots
+    local_obs: int = 8192       # reprojection-edge slots in local BA
+    ransac_trials: int = 128    # F-matrix hypotheses per gate
+
+
+# ---------------------------------------------------------------------------
+# System configuration
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Full system configuration (reference Config statics,
+    src/Config.cpp:83-186)."""
+
+    # camera (CamConfig.yml: image_width/height, camera_matrix,
+    # distortion_coefficients, rvec_b_c, tvec_b_c)
+    width: int = 640
+    height: int = 480
+    fx: float = 500.0
+    fy: float = 500.0
+    cx: float = 320.0
+    cy: float = 240.0
+    dist: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
+    Tbc: tuple = tuple(np.eye(4, dtype=np.float64).ravel())  # body→camera
+
+    # depth gates (src/Config.cpp:132-133)
+    upper_depth: float = 10000.0
+    lower_depth: float = 0.1
+
+    # odometry noise model (src/Config.cpp:142-147)
+    odo_x_uncertain: float = 0.02
+    odo_y_uncertain: float = 0.02
+    odo_t_uncertain: float = 0.02
+    odo_x_noise: float = 0.001
+    odo_y_noise: float = 0.001
+    odo_t_noise: float = 0.001
+
+    # plane-motion information weights (src/Config.cpp:46-48 defaults)
+    plane_motion_xrot_info: float = 1e6
+    plane_motion_yrot_info: float = 1e6
+    plane_motion_z_info: float = 1.0
+
+    # BA budgets (src/Config.cpp:155-160)
+    th_huber2: float = 25.0
+    local_iter: int = 10
+    global_iter: int = 15
+
+    # frontend (src/Config.cpp:137-139; 'scale_facotr' [sic])
+    max_feature_num: int = 1000
+    scale_factor: float = 1.2
+    max_level: int = 5
+
+    fps: int = 30
+
+    # keyframe decision gates (src/Track.cpp:30-35,346-376)
+    min_frames_between_kf: int = 8    # nMinFrames = FPS/3 by default
+    max_frames_between_kf: int = 30   # nMaxFrames = FPS
+
+    # loop-closure gates (src/Config.cpp:76-81)
+    gm_vcl_num_min_match_mp: int = 15
+    gm_vcl_num_min_match_kp: int = 30
+    gm_vcl_ratio_min_match_mp: float = 0.05
+    gm_dcl_min_kfid_offset: int = 20
+    gm_dcl_min_score_best: float = 0.005
+
+    # map IO (src/Config.cpp:165-176)
+    use_prev_map: bool = False
+    save_new_map: bool = True
+    localization_only: bool = False
+    map_file_path: str = "./se2lam_map"
+
+    cap: Capacity = field(default_factory=Capacity)
+
+    # -- derived ------------------------------------------------------------
+
+    @property
+    def Tbc_mat(self) -> np.ndarray:
+        return np.asarray(self.Tbc, np.float64).reshape(4, 4)
+
+    @property
+    def Tcb_mat(self) -> np.ndarray:
+        T = self.Tbc_mat
+        R, t = T[:3, :3], T[:3, 3]
+        out = np.eye(4)
+        out[:3, :3] = R.T
+        out[:3, 3] = -R.T @ t
+        return out
+
+    @property
+    def level_sigma2(self) -> np.ndarray:
+        return np.asarray(
+            [self.scale_factor ** (2 * l) for l in range(self.max_level)],
+            np.float32,
+        )
+
+    def accept_depth(self, z):
+        return (z >= self.lower_depth) & (z <= self.upper_depth)
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_yaml(cls, cam_path: str, settings_path: str,
+                  cap: Capacity | None = None) -> "SystemConfig":
+        """Load from the reference's two YAML files, honoring its key names
+        (src/Config.cpp:83-186)."""
+        cam = read_cv_yaml(cam_path)
+        st = read_cv_yaml(settings_path)
+
+        K = np.asarray(cam.get("camera_matrix", np.eye(3))).reshape(3, 3)
+        D = np.asarray(cam.get("distortion_coefficients", np.zeros(5))).ravel()
+        D = np.pad(D, (0, max(0, 5 - len(D))))[:5]
+
+        # extrinsic from Rodrigues rvec + tvec (src/Config.cpp:111-120)
+        rvec = np.asarray(cam.get("rvec_b_c", np.zeros(3))).ravel()
+        tvec = np.asarray(cam.get("tvec_b_c", np.zeros(3))).ravel()
+        theta = np.linalg.norm(rvec)
+        if theta < 1e-12:
+            R = np.eye(3)
+        else:
+            k = rvec / theta
+            Kx = np.array(
+                [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+            )
+            R = np.eye(3) + np.sin(theta) * Kx + (1 - np.cos(theta)) * Kx @ Kx
+        Tbc = np.eye(4)
+        Tbc[:3, :3] = R
+        Tbc[:3, 3] = tvec
+
+        def g(key, default, typ=float):
+            v = st.get(key, default)
+            try:
+                return typ(v)
+            except (TypeError, ValueError):
+                return default
+
+        fps = g("fps", 30, int)
+        kw = dict(
+            width=int(cam.get("image_width", 640)),
+            height=int(cam.get("image_height", 480)),
+            fx=float(K[0, 0]), fy=float(K[1, 1]),
+            cx=float(K[0, 2]), cy=float(K[1, 2]),
+            dist=tuple(D.tolist()),
+            Tbc=tuple(Tbc.ravel().tolist()),
+            upper_depth=g("upper_depth", 10000.0),
+            lower_depth=g("lower_depth", 0.1),
+            odo_x_uncertain=g("odo_x_uncertain", 0.02),
+            odo_y_uncertain=g("odo_y_uncertain", 0.02),
+            odo_t_uncertain=g("odo_theta_uncertain", 0.02),
+            odo_x_noise=g("odo_x_steady_noise", 0.001),
+            odo_y_noise=g("odo_y_steady_noise", 0.001),
+            odo_t_noise=g("odo_theta_steady_noise", 0.001),
+            plane_motion_xrot_info=g("plane_motion_xrot_info", 1e6),
+            plane_motion_yrot_info=g("plane_motion_yrot_info", 1e6),
+            plane_motion_z_info=g("plane_motion_z_info", 1.0),
+            th_huber2=g("th_huber2", 25.0),
+            local_iter=g("local_iter", 10, int),
+            global_iter=g("global_iter", 15, int),
+            max_feature_num=g("max_feature_num", 1000, int),
+            scale_factor=g("scale_facotr", 1.2),  # [sic] src/Config.cpp:137
+            max_level=g("max_level", 5, int),
+            fps=fps,
+            min_frames_between_kf=max(1, fps // 3),
+            max_frames_between_kf=fps,
+            gm_vcl_num_min_match_mp=g("gm_vcl_num_min_match_mp", 15, int),
+            gm_vcl_num_min_match_kp=g("gm_vcl_num_min_match_kp", 30, int),
+            gm_vcl_ratio_min_match_mp=g("gm_vcl_ratio_min_match_kp", 0.05),
+            gm_dcl_min_kfid_offset=g("gm_dcl_min_kfid_offset", 20, int),
+            gm_dcl_min_score_best=g("gm_dcl_min_score_best", 0.005),
+            use_prev_map=bool(g("USE_PREV_MAP", 0, int)),
+            save_new_map=bool(g("SAVE_NEW_MAP", 1, int)),
+            localization_only=bool(g("LOCALIZATION_ONLY", 0, int)),
+            map_file_path=str(st.get("map_file_path", "./se2lam_map")),
+        )
+        if cap is not None:
+            kw["cap"] = cap
+        else:
+            kw["cap"] = Capacity(n_features=kw["max_feature_num"])
+        return cls(**kw)
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
