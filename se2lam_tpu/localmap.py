@@ -1,0 +1,515 @@
+"""Local mapping stage: keyframe insertion, data association, local BA.
+
+TPU-native re-derivation of the reference LocalMapper thread + the Map's
+local-graph machinery (src/LocalMapper.cpp, src/Map.cpp:285-331,891-1053).
+Every operation is a pure function MapState → MapState over fixed-capacity
+arrays, so the stage jits once and needs no locks:
+
+- ``insert_first_kf`` / ``add_keyframe``   ⇔ Track::mCreateFrame +
+  LocalMapper::addNewKF/findCorrespd (3-way data association: inherit
+  tracked MPs, match-by-projection against the local map, mint new
+  MapPoints from triangulations — src/LocalMapper.cpp:87-170)
+- ``local_graph_masks``                    ⇔ Map::updateLocalGraph
+  (multi-hop covisibility BFS → local KFs / fixed RefKFs / local MPs,
+  src/Map.cpp:285-331)
+- ``build_local_ba`` / ``run_local_ba``    ⇔ Map::loadLocalGraph +
+  LocalMapper::localBA + Map::optimizeLocalGraph (the paper's SE2-XYZ
+  factor graph with plane-motion-marginalized 2x2 observation info,
+  src/Map.cpp:891-1053, src/LocalMapper.cpp:232-302)
+- MP culling on failed parallax            ⇔ MapPoint::updateParallax
+  kill rule (src/MapPoint.cpp:181-184)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import factors
+from .config import SystemConfig
+from .frontend.matcher import match_by_projection
+from .frontend.orb import OrbFeatures
+from .mapstate import MapState, kf_Tcw
+from .ops import se2, se3
+from .ops.camera import CameraModel
+from .solver.ba import BAConfig, BAProblem, solve_local_ba
+
+__all__ = [
+    "insert_first_kf",
+    "add_keyframe",
+    "local_graph_masks",
+    "build_local_ba",
+    "run_local_ba",
+    "kf_track_seed",
+]
+
+
+def _write_kf_record(ms: MapState, k, feats: OrbFeatures, pose, odom):
+    return ms._replace(
+        kf_pose=ms.kf_pose.at[k].set(pose),
+        kf_odom=ms.kf_odom.at[k].set(odom),
+        kf_valid=ms.kf_valid.at[k].set(True),
+        kf_xy=ms.kf_xy.at[k].set(feats.xy),
+        kf_octave=ms.kf_octave.at[k].set(feats.octave),
+        kf_angle=ms.kf_angle.at[k].set(feats.angle),
+        kf_feat_valid=ms.kf_feat_valid.at[k].set(feats.valid),
+        kf_desc=ms.kf_desc.at[k].set(feats.desc_pm1),
+    )
+
+
+@jax.jit
+def insert_first_kf(ms: MapState, feats: OrbFeatures, pose, odom) -> MapState:
+    """First frame becomes KF 0 at the origin with no map points
+    (Track::mCreateFrame, src/Track.cpp:105-120)."""
+    k = ms.n_kf
+    ms = _write_kf_record(ms, k, feats, pose, odom)
+    return ms._replace(n_kf=ms.n_kf + 1)
+
+
+def kf_track_seed(ms: MapState, k):
+    """(view_mp, obs_mask) of KF ``k`` for Track::resetLocalTrack."""
+    return ms.kf_view_mp[k], ms.kf_obs_mp[k] >= 0
+
+
+def _append_obs(ms: MapState, mp_idx, kf, feat_idx, active):
+    """Append observation (kf, feat) to each active map point (the
+    functional MapPoint::addObservation, src/MapPoint.cpp:104-122).
+
+    mp_idx/feat_idx: (N,) int32; active: (N,) bool. Each active row adds
+    one observation; overflow past the fan-in capacity P is dropped.
+    """
+    P = ms.mp_obs_kf.shape[1]
+    m = jnp.clip(mp_idx, 0)
+    slot = ms.mp_n_obs[m]
+    ok = active & (slot < P)
+    row = jnp.where(ok, m, ms.M)           # out-of-range rows drop
+    col = jnp.where(ok, slot, 0)
+    kf_full = jnp.full_like(mp_idx, kf)
+    return ms._replace(
+        mp_obs_kf=ms.mp_obs_kf.at[row, col].set(kf_full, mode="drop"),
+        mp_obs_feat=ms.mp_obs_feat.at[row, col].set(feat_idx, mode="drop"),
+        mp_n_obs=ms.mp_n_obs.at[row].add(
+            jnp.where(ok, 1, 0), mode="drop"
+        ),
+    )
+
+
+def _octave_dist_gates(octave, dist, scale_factor, n_levels):
+    """min/max view-distance gates from the creation octave
+    (MapPoint::updateMainKFandDescriptor, src/MapPoint.cpp:276-289)."""
+    level_scale = scale_factor ** octave.astype(jnp.float32)
+    max_d = dist * level_scale * scale_factor
+    min_d = max_d / (scale_factor ** n_levels)
+    return min_d, max_d
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def add_keyframe(
+    ms: MapState,
+    feats: OrbFeatures,
+    pose,
+    odom,
+    ref_kf,
+    match_idx,
+    local_mps,
+    local_mp_valid,
+    good_prl,
+    pre_meas,
+    pre_cov,
+    cfg: SystemConfig,
+):
+    """Insert the current frame as a keyframe with full data association.
+
+    Reproduces LocalMapper::addNewKF/findCorrespd (src/LocalMapper.cpp:51-170):
+    (a) inherit map points tracked from the reference KF, (b) mint new map
+    points from this window's triangulations, (c) projection-match the rest
+    of the map into the new KF, then covisibility + odometry-chain updates.
+
+    match_idx: (N,) ref-feature → current-feature match (-1 none).
+    local_mps: (N,) ref-camera-frame triangulated positions (mLocalMPs).
+    Returns (new MapState, new KF slot index).
+    """
+    K, M, N = ms.K, ms.M, ms.N
+    dtype = ms.kf_pose.dtype
+    k = ms.n_kf
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+
+    ms = _write_kf_record(ms, k, feats, pose, odom)
+
+    ref_pose = ms.kf_pose[ref_kf]
+    Tcw_new = kf_Tcw(pose, Tcb)
+    Tcw_ref = kf_Tcw(ref_pose, Tcb)
+    Twc_ref = se3.inv(Tcw_ref)
+    cam_center_new = se3.inv(Tcw_new)[:3, 3]
+    cam_center_ref = Twc_ref[:3, 3]
+
+    j = jnp.clip(match_idx, 0)              # current-frame feature per ref feature
+    m_ref = ms.kf_obs_mp[ref_kf]            # MP per ref feature (-1 none)
+
+    # ---- (a) inherit tracked MPs (src/LocalMapper.cpp:94-115) ----
+    inherit = (
+        (match_idx >= 0) & (m_ref >= 0) & ms.mp_valid[jnp.clip(m_ref, 0)]
+    )
+    ms = _append_obs(ms, m_ref, k, j, inherit)
+
+    # parallax promotion: new baseline may give a no-parallax MP good
+    # geometry (MapPoint::updateParallax, src/MapPoint.cpp:124-185)
+    mp_w = ms.mp_pos[jnp.clip(m_ref, 0)]
+    v_new = mp_w - cam_center_new
+    v_ref = mp_w - cam_center_ref
+    cosang = jnp.sum(v_new * v_ref, -1) / jnp.maximum(
+        jnp.linalg.norm(v_new, axis=-1) * jnp.linalg.norm(v_ref, axis=-1),
+        1e-12,
+    )
+    promoted = inherit & (cosang < jnp.cos(jnp.deg2rad(1.0)))
+    ms = ms._replace(
+        mp_good_prl=ms.mp_good_prl.at[jnp.where(promoted, m_ref, M)].set(
+            True, mode="drop"
+        )
+    )
+
+    # ---- (b) mint new MPs from triangulations (src/LocalMapper.cpp:148-166) --
+    mint = (match_idx >= 0) & (m_ref < 0) & local_mp_valid & feats.valid[j]
+    rank = jnp.cumsum(mint.astype(jnp.int32)) - 1
+    slot = ms.n_mp + rank
+    ok = mint & (slot < M)
+    srow = jnp.where(ok, slot, M)           # drop overflow
+
+    pos_w = se3.apply(Twc_ref, local_mps)
+    view_dir = pos_w - cam_center_ref
+    dist = jnp.linalg.norm(view_dir, axis=-1)
+    normal = view_dir / jnp.maximum(dist, 1e-12)[..., None]
+    ref_octave = ms.kf_octave[ref_kf]
+    min_d, max_d = _octave_dist_gates(
+        ref_octave, dist, cfg.scale_factor, cfg.max_level
+    )
+
+    ms = ms._replace(
+        mp_pos=ms.mp_pos.at[srow].set(pos_w, mode="drop"),
+        mp_valid=ms.mp_valid.at[srow].set(True, mode="drop"),
+        mp_good_prl=ms.mp_good_prl.at[srow].set(good_prl, mode="drop"),
+        mp_desc=ms.mp_desc.at[srow].set(feats.desc_pm1[j], mode="drop"),
+        mp_normal=ms.mp_normal.at[srow].set(normal, mode="drop"),
+        mp_main_kf=ms.mp_main_kf.at[srow].set(ref_kf, mode="drop"),
+        mp_main_feat=ms.mp_main_feat.at[srow].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
+        ),
+        mp_main_octave=ms.mp_main_octave.at[srow].set(ref_octave, mode="drop"),
+        mp_min_dist=ms.mp_min_dist.at[srow].set(min_d, mode="drop"),
+        mp_max_dist=ms.mp_max_dist.at[srow].set(max_d, mode="drop"),
+        n_mp=ms.n_mp + jnp.sum(ok.astype(jnp.int32)),
+    )
+    # observations in both KFs
+    ms = _append_obs(ms, srow, ref_kf, jnp.arange(N, dtype=jnp.int32), ok)
+    ms = _append_obs(ms, srow, k, j, ok)
+    # wire feature → MP in the ref-KF row
+    ms = ms._replace(
+        kf_obs_mp=ms.kf_obs_mp.at[ref_kf].set(
+            jnp.where(ok, slot, ms.kf_obs_mp[ref_kf])
+        )
+    )
+    # new-KF observation row: per current feature, MP from inherit or mint
+    inh_row = jnp.full((N,), -1, jnp.int32).at[jnp.where(inherit, j, N)].set(
+        jnp.where(inherit, m_ref, -1), mode="drop"
+    )
+    mint_row = jnp.full((N,), -1, jnp.int32).at[jnp.where(ok, j, N)].set(
+        jnp.where(ok, slot, -1), mode="drop"
+    )
+    obs_row = jnp.where(mint_row >= 0, mint_row, inh_row)
+
+    # ---- (c) projection-match local map into the new KF
+    #      (MatchByProjection + acceptNewObserve, src/LocalMapper.cpp:117-147,
+    #       src/MapPoint.cpp:202-209) ----
+    already = jnp.zeros((M,), bool).at[jnp.clip(obs_row, 0)].set(
+        obs_row >= 0, mode="drop"
+    )
+    lc = se3.apply(Tcw_new, ms.mp_pos)           # (M, 3) camera frame
+    z = lc[..., 2]
+    u = cfg.fx * lc[..., 0] / jnp.where(z == 0, 1.0, z) + cfg.cx
+    v = cfg.fy * lc[..., 1] / jnp.where(z == 0, 1.0, z) + cfg.cy
+    mp_dist = jnp.linalg.norm(ms.mp_pos - cam_center_new, axis=-1)
+    vdir = (ms.mp_pos - cam_center_new) / jnp.maximum(mp_dist, 1e-12)[..., None]
+    cos_view = jnp.sum(vdir * ms.mp_normal, -1)
+    cand = (
+        ms.mp_valid
+        & ~already
+        & (z > 0)
+        & (u >= 0) & (u < cfg.width) & (v >= 0) & (v < cfg.height)
+        & (mp_dist >= 0.8 * ms.mp_min_dist)
+        & (mp_dist <= 1.2 * ms.mp_max_dist)
+        & (cos_view > jnp.cos(jnp.deg2rad(30.0)))
+    )
+    feat_free = feats.valid & (obs_row < 0)
+    proj_match, _n_proj = match_by_projection(
+        feats,
+        jnp.stack([u, v], -1),
+        ms.mp_main_octave,
+        ms.mp_desc,
+        cand,
+        feat_free,
+    )
+    proj_ok = proj_match >= 0
+    obs_row = jnp.where(proj_ok, proj_match, obs_row)
+    ms = _append_obs(
+        ms, proj_match, k, jnp.arange(N, dtype=jnp.int32), proj_ok
+    )
+
+    # ---- finalize the new KF's observation row + view estimates ----
+    has_obs = obs_row >= 0
+    mp_here = ms.mp_pos[jnp.clip(obs_row, 0)]
+    view_c = se3.apply(Tcw_new, mp_here)
+    info_new, _ = factors.se3_to_xyz_info(view_c, Tcw_new, Tcw_ref, cfg.fx)
+    ms = ms._replace(
+        kf_obs_mp=ms.kf_obs_mp.at[k].set(obs_row),
+        kf_view_mp=ms.kf_view_mp.at[k].set(
+            jnp.where(has_obs[:, None], view_c, 0.0)
+        ),
+        kf_view_info=ms.kf_view_info.at[k].set(
+            jnp.where(has_obs[:, None, None], info_new, 0.0)
+        ),
+    )
+
+    # ---- covisibility (>30% shared MPs, Map::updateCovisibility,
+    #      src/Map.cpp:785-799) ----
+    seen_new = jnp.zeros((M,), bool).at[jnp.clip(obs_row, 0)].set(
+        has_obs, mode="drop"
+    )
+    obs_all = ms.kf_obs_mp                         # (K, N)
+    shared = jnp.sum(
+        seen_new[jnp.clip(obs_all, 0)] & (obs_all >= 0), axis=1
+    )                                              # (K,)
+    count_other = jnp.sum(obs_all >= 0, axis=1)
+    count_new = jnp.sum(has_obs.astype(jnp.int32))
+    ratio = shared.astype(dtype) / jnp.maximum(
+        jnp.minimum(count_other, count_new), 1
+    ).astype(dtype)
+    covis_new = (
+        (ratio > 0.3) & ms.kf_valid & (jnp.arange(K) != k) & (shared > 0)
+    )
+    ms = ms._replace(
+        covis=ms.covis.at[k].set(covis_new).at[:, k].set(covis_new)
+    )
+
+    # ---- odometry chain with preintegration (KeyFrame::preOdomFromSelf,
+    #      src/LocalMapper.cpp:70-76) ----
+    ms = ms._replace(
+        kf_pre_next=ms.kf_pre_next.at[ref_kf].set(k),
+        kf_pre_meas=ms.kf_pre_meas.at[ref_kf].set(pre_meas),
+        kf_pre_cov=ms.kf_pre_cov.at[ref_kf].set(pre_cov),
+    )
+
+    # ---- cull MPs with no parallax after 6 KFs
+    #      (MapPoint::updateParallax kill rule, src/MapPoint.cpp:181-184) ----
+    stale = (
+        ms.mp_valid
+        & ~ms.mp_good_prl
+        & (k - ms.mp_main_kf > 6)
+    )
+    ms = ms._replace(mp_valid=ms.mp_valid & ~stale)
+
+    return ms._replace(n_kf=ms.n_kf + 1), k
+
+
+# ---------------------------------------------------------------------------
+# Local graph selection
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("hops",))
+def local_graph_masks(ms: MapState, cur_kf, hops: int = 2):
+    """Multi-hop covisibility BFS from the current KF
+    (Map::updateLocalGraph, src/Map.cpp:285-331).
+
+    Returns (local_kf_mask, ref_kf_mask, local_mp_mask):
+    - local KFs: reachable within ``hops`` covisibility/odometry hops
+    - local MPs: observed by any local KF
+    - ref KFs: other observers of local MPs (the fixed frontier)
+    """
+    K = ms.K
+    adj = ms.covis
+    # odometry chain links keep the graph connected before covisibility forms
+    nxt = ms.kf_pre_next
+    has_nxt = nxt >= 0
+    rows = jnp.arange(K)
+    adj = adj.at[rows, jnp.clip(nxt, 0)].max(has_nxt)
+    adj = adj.at[jnp.clip(nxt, 0), rows].max(has_nxt)
+
+    v = jnp.zeros((K,), bool).at[cur_kf].set(True)
+    for _ in range(hops):
+        v = v | jnp.any(adj & v[None, :], axis=1)
+    local_kfs = v & ms.kf_valid
+
+    obs = ms.mp_obs_kf                              # (M, P)
+    obs_ok = obs >= 0
+    local_mps = (
+        jnp.any(local_kfs[jnp.clip(obs, 0)] & obs_ok, axis=1) & ms.mp_valid
+    )
+
+    observer = jnp.zeros((K,), bool).at[jnp.clip(obs, 0)].max(
+        local_mps[:, None] & obs_ok, mode="drop"
+    )
+    ref_kfs = observer & ~local_kfs & ms.kf_valid
+    return local_kfs, ref_kfs, local_mps
+
+
+# ---------------------------------------------------------------------------
+# Local BA assembly + write-back
+# ---------------------------------------------------------------------------
+
+class LocalWindow(NamedTuple):
+    prob: BAProblem
+    win_kf: jnp.ndarray    # (W,) map KF slot per window slot (garbage if invalid)
+    win_mp: jnp.ndarray    # (Mw,) map MP slot per window point slot
+    kf_sel: jnp.ndarray    # (W,) bool
+    mp_sel: jnp.ndarray    # (Mw,) bool
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
+    """Assemble the SE2-XYZ local window problem (Map::loadLocalGraph,
+    src/Map.cpp:891-1053): newest local KFs + fixed RefKFs, good-parallax
+    local MPs, reprojection edges with marginalized plane-motion 2x2 info,
+    preintegrated odometry edges along the KF chain."""
+    K, M, N = ms.K, ms.M, ms.N
+    dtype = ms.kf_pose.dtype
+    Wl, Wr, Mw = cfg.cap.local_kfs, cfg.cap.local_ref_kfs, cfg.cap.local_mps
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+
+    local_kfs, ref_kfs, local_mps = local_graph_masks(ms, cur_kf)
+
+    # newest local KFs first (sliding window); lowest-id ref KFs
+    idxf = jnp.arange(K, dtype=dtype)
+    _, loc_ids = jax.lax.top_k(jnp.where(local_kfs, idxf, -jnp.inf), Wl)
+    loc_sel = local_kfs[loc_ids]
+    _, ref_ids = jax.lax.top_k(jnp.where(ref_kfs, -idxf, -jnp.inf), Wr)
+    ref_sel = ref_kfs[ref_ids]
+
+    win_kf = jnp.concatenate([loc_ids, ref_ids])           # (W,)
+    kf_sel = jnp.concatenate([loc_sel, ref_sel])
+    W = Wl + Wr
+    is_ref = jnp.concatenate(
+        [jnp.zeros((Wl,), bool), jnp.ones((Wr,), bool)]
+    )
+
+    # gauge: fix RefKFs + the oldest (min-id) local KF (src/Map.cpp:914-925)
+    min_local = jnp.min(jnp.where(loc_sel, loc_ids, K))
+    fixed = is_ref | (win_kf == min_local)
+
+    kf2win = jnp.full((K + 1,), -1, jnp.int32).at[
+        jnp.where(kf_sel, win_kf, K)
+    ].set(jnp.arange(W, dtype=jnp.int32), mode="drop")[:K]
+
+    # good-parallax MPs only participate in BA (SURVEY §2 row 8)
+    ba_mps = local_mps & ms.mp_good_prl
+    mp_score = jnp.where(
+        ba_mps, ms.mp_n_obs.astype(dtype), -jnp.inf
+    )
+    _, win_mp = jax.lax.top_k(mp_score, Mw)
+    mp_sel = ba_mps[win_mp]
+    mp2win = jnp.full((M + 1,), -1, jnp.int32).at[
+        jnp.where(mp_sel, win_mp, M)
+    ].set(jnp.arange(Mw, dtype=jnp.int32), mode="drop")[:M]
+
+    poses = ms.kf_pose[win_kf]
+    points = ms.mp_pos[win_mp]
+
+    # --- observations: all (window KF, feature) pairs ---
+    obs_mp_raw = ms.kf_obs_mp[win_kf]                      # (W, N)
+    obs_mpw = mp2win[jnp.clip(obs_mp_raw, 0)]              # (W, N) window idx
+    obs_valid = (
+        kf_sel[:, None]
+        & (obs_mp_raw >= 0)
+        & (obs_mpw >= 0)
+        & ms.kf_feat_valid[win_kf]
+    )
+    obs_kf_idx = jnp.broadcast_to(
+        jnp.arange(W, dtype=jnp.int32)[:, None], (W, N)
+    ).reshape(-1)
+    obs_mp_idx = jnp.clip(obs_mpw, 0).reshape(-1)
+    obs_uv = ms.kf_xy[win_kf].reshape(-1, 2)
+    obs_valid = obs_valid.reshape(-1)
+
+    # marginalized plane-motion measurement info (src/Map.cpp:1024-1049)
+    p_o = poses[obs_kf_idx]
+    x_o = points[obs_mp_idx]
+    Tcw_o = jax.vmap(lambda p: kf_Tcw(p, Tcb))(p_o)
+    lc_o = jax.vmap(se3.apply)(Tcw_o, x_o)
+    octave_o = ms.kf_octave[win_kf].reshape(-1)
+    sigma2_uv = jnp.asarray(cfg.level_sigma2, dtype)[
+        jnp.clip(octave_o, 0, cfg.max_level - 1)
+    ]
+    Sigma = jax.vmap(
+        lambda pp, xx, ll, tt, ss: factors.se2xyz_sigma(
+            pp, xx, ll, cam, tt, ss,
+            1.0 / cfg.plane_motion_xrot_info,
+            1.0 / cfg.plane_motion_z_info,
+        )
+    )(p_o, x_o, lc_o, Tcw_o, sigma2_uv)
+    # guard: behind-camera or invalid obs get identity Sigma
+    safe = obs_valid & (lc_o[..., 2] > 1e-3)
+    Sigma = jnp.where(
+        safe[:, None, None], Sigma, jnp.eye(2, dtype=dtype)[None]
+    )
+    obs_info = jnp.linalg.inv(Sigma)
+    obs_valid = safe
+
+    # --- odometry edges along the preintegration chain ---
+    nxt = ms.kf_pre_next[win_kf]                           # (W,)
+    e_j = kf2win[jnp.clip(nxt, 0)]
+    e_valid = kf_sel & (nxt >= 0) & (e_j >= 0)
+    cov = ms.kf_pre_cov[win_kf]
+    cov_safe = jnp.where(
+        e_valid[:, None, None],
+        cov + 1e-10 * jnp.eye(3, dtype=dtype)[None],
+        jnp.eye(3, dtype=dtype)[None],
+    )
+    edge_info = jnp.linalg.inv(cov_safe)
+
+    prob = BAProblem(
+        poses=poses,
+        points=points,
+        pose_valid=kf_sel,
+        pose_fixed=fixed,
+        point_valid=mp_sel,
+        obs_kf=obs_kf_idx,
+        obs_mp=obs_mp_idx,
+        obs_uv=obs_uv,
+        obs_info=obs_info,
+        obs_valid=obs_valid,
+        edge_i=jnp.arange(W, dtype=jnp.int32),
+        edge_j=jnp.clip(e_j, 0),
+        edge_meas=ms.kf_pre_meas[win_kf],
+        edge_info=edge_info,
+        edge_valid=e_valid,
+    )
+    return LocalWindow(prob, win_kf, win_mp, kf_sel, mp_sel)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_local_ba(ms: MapState, cur_kf, cfg: SystemConfig):
+    """Local BA + write-back (LocalMapper::localBA +
+    Map::optimizeLocalGraph, src/LocalMapper.cpp:232-302,
+    src/Map.cpp:754-783). Returns (MapState, info)."""
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    win = build_local_ba(ms, cur_kf, cfg)
+    ba_cfg = BAConfig(
+        iters=cfg.local_iter,
+        huber_delta=float(cfg.th_huber2) ** 0.5,
+        chi2_thresh=cfg.th_huber2,
+    )
+    poses, points, info = solve_local_ba(win.prob, cam, Tcb, ba_cfg)
+
+    free = win.kf_sel & ~win.prob.pose_fixed
+    K, M = ms.K, ms.M
+    new_kf_pose = ms.kf_pose.at[jnp.where(free, win.win_kf, K)].set(
+        poses, mode="drop"
+    )
+    new_mp_pos = ms.mp_pos.at[jnp.where(win.mp_sel, win.win_mp, M)].set(
+        points, mode="drop"
+    )
+    return ms._replace(kf_pose=new_kf_pose, mp_pos=new_mp_pos), info

@@ -1,0 +1,208 @@
+"""System shell: the OdoSLAM-equivalent embedding API.
+
+TPU-native re-derivation of the reference system object
+(src/OdoSLAM.cpp:75-215): where the reference wires four detached threads
+over a mutex-guarded map, this drives three jitted stages — tracking,
+keyframe insertion + local BA, loop closing + global BA — from one host
+loop over device-resident state. Sensor pairing (the reference's blocking
+1-deep Sensors buffer, src/Sensors.cpp:24-64) becomes the synchronous
+``process(img, odo)`` call; `receive_odo`/`receive_img` wrappers keep the
+reference's split-feed API shape.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import localmap, tracking
+from .config import SystemConfig
+from .frontend.orb import OrbConfig, OrbFeatures, make_extractor
+from .mapstate import MapState, empty_map
+from .ops import se2
+from .ops.camera import CameraModel, undistort_points
+
+__all__ = ["SlamSystem"]
+
+
+class SlamSystem:
+    """Monocular + wheel-odometry SE(2) SLAM engine.
+
+    Usage (reference test_vn feed loop, test/test_vn.cpp:43-55)::
+
+        slam = SlamSystem(cfg)
+        for img, odo in dataset:
+            slam.process(img, odo)        # or receive_odo + receive_img
+        slam.save_kf_trajectory(path)
+    """
+
+    def __init__(self, cfg: SystemConfig, enable_loops: bool = True):
+        self.cfg = cfg
+        self.orb_cfg = OrbConfig(
+            height=cfg.height,
+            width=cfg.width,
+            n_features=cfg.cap.n_features,
+            scale_factor=cfg.scale_factor,
+            n_levels=cfg.max_level,
+        )
+        # frame feature capacity must match the map's feature axis
+        assert self.orb_cfg.n_slots == cfg.cap.n_features, (
+            self.orb_cfg.n_slots,
+            cfg.cap.n_features,
+        )
+        self._extract = jax.jit(make_extractor(self.orb_cfg))
+        self._cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+        self._undistort = any(abs(d) > 0 for d in cfg.dist)
+
+        self.ms: MapState = empty_map(cfg.cap)
+        self.ts = None
+        self.frame_id = 0
+        self.kf_frame_ids: list[int] = []
+        self.trajectory: list[tuple[int, np.ndarray]] = []
+        self.key = jax.random.PRNGKey(0)
+        self.timings: dict[str, float] = {}
+        self.enable_loops = enable_loops
+        self._loop_closer = None
+        self._pending_odo = None
+        self._pending_img = None
+
+    # -- reference-shaped split feed API (OdoSLAM::receiveOdoData/ImgData) --
+
+    def receive_odo(self, x, y, theta):
+        self._pending_odo = np.asarray([x, y, theta], np.float32)
+        self._maybe_step()
+
+    def receive_img(self, img):
+        self._pending_img = img
+        self._maybe_step()
+
+    def _maybe_step(self):
+        if self._pending_odo is not None and self._pending_img is not None:
+            img, odo = self._pending_img, self._pending_odo
+            self._pending_img = self._pending_odo = None
+            self.process(img, odo)
+
+    # -- main synchronous step --
+
+    def extract(self, img) -> OrbFeatures:
+        feats = self._extract(jnp.asarray(img, jnp.float32))
+        if self._undistort:
+            feats = feats._replace(
+                xy=undistort_points(self._cam, feats.xy)
+            )
+        return feats
+
+    def process(self, img, odo) -> np.ndarray:
+        """Feed one (image, odometry) pair; returns current body pose (3,)."""
+        return self.process_features(self.extract(img), odo)
+
+    def process_features(self, feats: OrbFeatures, odo) -> np.ndarray:
+        cfg = self.cfg
+        odo = jnp.asarray(odo, jnp.float32)
+
+        if self.ts is None:
+            # first frame → KF 0 at origin if enough keypoints
+            # (Track::mCreateFrame needs >100, src/Track.cpp:105-120)
+            if int(feats.n) > min(100, cfg.cap.n_features // 4):
+                self.ms = localmap.insert_first_kf(
+                    self.ms, feats, jnp.zeros(3, jnp.float32), odo
+                )
+                view_mp, obs_mask = localmap.kf_track_seed(self.ms, 0)
+                self.ts = tracking.init_track_state(
+                    feats, jnp.zeros(3, jnp.float32), odo, 0, view_mp, obs_mask
+                )
+                self.kf_frame_ids.append(self.frame_id)
+            pose = np.zeros(3, np.float32)
+            self.trajectory.append((self.frame_id, pose))
+            self.frame_id += 1
+            return pose
+
+        self.key, sub = jax.random.split(self.key)
+        t0 = time.perf_counter()
+        self.ts, res = tracking.track_frame(self.ts, feats, odo, sub, cfg)
+        self.timings["track"] = time.perf_counter() - t0
+
+        if bool(res.need_kf) and int(self.ms.n_kf) < cfg.cap.max_kfs:
+            self._insert_keyframe(feats, odo)
+
+        pose = np.asarray(res.pose)
+        self.trajectory.append((self.frame_id, pose))
+        self.frame_id += 1
+        return pose
+
+    def _insert_keyframe(self, feats: OrbFeatures, odo):
+        cfg, ts = self.cfg, self.ts
+        t0 = time.perf_counter()
+        self.ms, k = localmap.add_keyframe(
+            self.ms,
+            feats,
+            ts.cur_pose,
+            odo,
+            ts.ref_kf_idx,
+            ts.match_idx,
+            ts.local_mps,
+            ts.local_mp_valid,
+            ts.good_prl,
+            ts.pre_meas,
+            ts.pre_cov,
+            cfg,
+        )
+        self.timings["add_kf"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        self.ms, ba_info = localmap.run_local_ba(self.ms, k, cfg)
+        self.timings["local_ba"] = time.perf_counter() - t0
+
+        if self.enable_loops and self._loop_closer is not None:
+            t0 = time.perf_counter()
+            self.ms = self._loop_closer.on_new_kf(self.ms, k)
+            self.timings["loop"] = time.perf_counter() - t0
+
+        # reset tracking against the (BA-refined) new reference KF
+        # (Track::resetLocalTrack, src/Track.cpp:195-209)
+        view_mp, obs_mask = localmap.kf_track_seed(self.ms, k)
+        self.ts = tracking.init_track_state(
+            feats,
+            self.ms.kf_pose[k],
+            odo,
+            k,
+            view_mp,
+            obs_mask,
+        )
+        self.kf_frame_ids.append(self.frame_id)
+
+    # -- outputs (OdoSLAM::saveMap trajectory dump, src/OdoSLAM.cpp:199-214) --
+
+    def current_pose(self) -> np.ndarray:
+        if self.trajectory:
+            return self.trajectory[-1][1]
+        return np.zeros(3, np.float32)
+
+    def kf_trajectory(self) -> np.ndarray:
+        """(nKF, 5) rows of [idKF, x, y, z, yaw] in the reference format."""
+        n = int(self.ms.n_kf)
+        poses = np.asarray(self.ms.kf_pose[:n])
+        valid = np.asarray(self.ms.kf_valid[:n])
+        rows = []
+        for i in range(n):
+            if not valid[i]:
+                continue
+            x, y, th = poses[i]
+            rows.append([i, x, y, 0.0, th])
+        return np.asarray(rows, np.float64).reshape(-1, 5)
+
+    def save_kf_trajectory(self, path: str):
+        rows = self.kf_trajectory()
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(
+                    f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f} {r[4]:.6f}\n"
+                )
+
+    def n_keyframes(self) -> int:
+        return int(self.ms.n_kf)
+
+    def n_map_points(self) -> int:
+        return int(jnp.sum(self.ms.mp_valid))

@@ -1,0 +1,82 @@
+"""End-to-end system tests: SlamSystem on the synthetic rover world with
+the real ORB extraction path (the analog of the reference's test_vn demo
+run, validated numerically via SE(2)-aligned ATE instead of by eye)."""
+import numpy as np
+import pytest
+
+from se2lam_tpu.config import Capacity, SystemConfig
+from se2lam_tpu.io import SyntheticWorld, ate_se2
+from se2lam_tpu.system import SlamSystem
+
+from synth_utils import TCB
+
+
+def small_cfg(n_feats):
+    return SystemConfig(
+        width=320, height=240,
+        fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=n_feats, max_level=2, scale_factor=1.2,
+        min_frames_between_kf=2, max_frames_between_kf=8,
+        local_iter=6,
+        cap=Capacity(
+            n_features=n_feats, max_kfs=32, max_mps=2048,
+            local_kfs=8, local_ref_kfs=8, local_mps=512,
+            ransac_trials=64,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def run_result():
+    cfg0 = small_cfg(256)
+    # OrbConfig rounds per-level quotas; align capacity with actual slots
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    oc = OrbConfig(
+        height=cfg0.height, width=cfg0.width, n_features=256,
+        scale_factor=cfg0.scale_factor, n_levels=cfg0.max_level,
+    )
+    cfg = cfg0.replace(
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=32, max_mps=2048,
+            local_kfs=8, local_ref_kfs=8, local_mps=512, ransac_trials=64,
+        )
+    )
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
+    slam = SlamSystem(cfg, enable_loops=False)
+    n_frames = 40
+    for img, odo in world.sequence(n_frames, noise=(0.004, 0.002, 0.002)):
+        slam.process(img, odo)
+    return slam, world, n_frames
+
+
+def test_pipeline_runs_and_builds_map(run_result):
+    slam, world, n = run_result
+    assert slam.frame_id == n
+    assert slam.n_keyframes() >= 3
+    assert slam.n_map_points() > 50
+    for _, p in slam.trajectory:
+        assert np.isfinite(p).all()
+
+
+def test_ate_bounded(run_result):
+    """SLAM trajectory must stay near ground truth (odometry noise is mild;
+    this bounds gross divergence, the reference's 'looks right in rviz')."""
+    slam, world, n = run_result
+    est = np.asarray([p for _, p in slam.trajectory])
+    rmse, _ = ate_se2(est[:, :2], world.gt[: len(est), :2])
+    assert rmse < 0.5, f"ATE {rmse}"
+
+
+def test_kf_trajectory_format(run_result, tmp_path):
+    slam, world, n = run_result
+    path = tmp_path / "kf_traj.txt"
+    slam.save_kf_trajectory(str(path))
+    from se2lam_tpu.io import load_trajectory
+
+    rows = load_trajectory(str(path))
+    assert rows.shape[0] == slam.n_keyframes()
+    assert rows.shape[1] == 5
+    assert (rows[:, 3] == 0).all()  # planar: z = 0
