@@ -1,0 +1,10 @@
+"""Multi-device distribution: sharded bundle adjustment and map-bank ops.
+
+The reference has no distributed story (4 threads, one mutex-guarded map —
+SURVEY §2 parallelism table). This package is the new capability: map
+state and factor-graph workloads sharded over a ``jax.sharding.Mesh``,
+with XLA inserting the collectives (psum of Schur-reduced systems,
+all-gather argmax for loop scores) from sharding annotations.
+"""
+from .dist_ba import shard_ba_problem, sharded_solve_local_ba  # noqa: F401
+from .mesh import make_mesh  # noqa: F401
