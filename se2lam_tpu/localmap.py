@@ -134,8 +134,10 @@ def add_keyframe(
     K, M, N = ms.K, ms.M, ms.N
     dtype = ms.kf_pose.dtype
     k = ms.n_kf
+    ms_in = ms
     cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
     Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    k = jnp.minimum(k, K - 1)  # clamp writes while the guard below decides
 
     ms = _write_kf_record(ms, k, feats, pose, odom)
 
@@ -205,11 +207,15 @@ def add_keyframe(
     # observations in both KFs
     ms = _append_obs(ms, srow, ref_kf, jnp.arange(N, dtype=jnp.int32), ok)
     ms = _append_obs(ms, srow, k, j, ok)
-    # wire feature → MP in the ref-KF row
+    # wire feature → MP in the ref-KF row; back-fill its camera-frame view
+    # estimate (the reference's mViewMPs back-fill, src/MapPoint.cpp:150-170)
     ms = ms._replace(
         kf_obs_mp=ms.kf_obs_mp.at[ref_kf].set(
             jnp.where(ok, slot, ms.kf_obs_mp[ref_kf])
-        )
+        ),
+        kf_view_mp=ms.kf_view_mp.at[ref_kf].set(
+            jnp.where(ok[:, None], local_mps, ms.kf_view_mp[ref_kf])
+        ),
     )
     # new-KF observation row: per current feature, MP from inherit or mint
     inh_row = jnp.full((N,), -1, jnp.int32).at[jnp.where(inherit, j, N)].set(
@@ -309,8 +315,16 @@ def add_keyframe(
         & (k - ms.mp_main_kf > 6)
     )
     ms = ms._replace(mp_valid=ms.mp_valid & ~stale)
+    ms = ms._replace(n_kf=ms.n_kf + 1)
 
-    return ms._replace(n_kf=ms.n_kf + 1), k
+    # capacity guard: a full KF bank drops the insertion atomically rather
+    # than silently corrupting slot reads (callers should prune/checkpoint
+    # before this triggers)
+    full = ms_in.n_kf >= K
+    ms = jax.tree.map(
+        lambda new, old: jnp.where(full, old, new), ms, ms_in
+    )
+    return ms, jnp.where(full, -1, k)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,381 @@
+"""Loop closing + global mapping stage.
+
+TPU-native re-derivation of the reference GlobalMapper thread
+(src/GlobalMapper.cpp): on each new keyframe — BoW scoring against the
+whole KF bank (DetectLoopClose, :201-254), descriptor verification with
+RANSAC and MP-match gates (VerifyLoopClose, :256-326), constraint
+sparsification via the 2-KF mini-BA + Schur marginalization
+(CreateFeatEdge/OptKFPairMatch, :781-1032), map-point fusion
+(Map::mergeLoopClose, src/Map.cpp:333-352), and a global pose-graph BA
+with MP re-anchoring (GlobalBA, :328-535).
+
+Control flow is host-driven (the natural analog of the reference's
+thread loop — detection is cheap, the expensive verified path is rare);
+every compute block is a fixed-shape jitted function.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import vocab as vocab_mod
+from .config import SystemConfig
+from .frontend.matcher import mutual_match
+from .frontend.orb import OrbFeatures
+from .frontend.ransac import ransac_fundamental
+from .mapstate import MAX_FTR_EDGES, MapState, kf_Tcw
+from .ops import se2, se3
+from .ops.camera import CameraModel
+from .solver.ba import BAConfig, BAProblem, solve_local_ba
+from .solver.posegraph import PoseGraphProblem, solve_pose_graph
+from .solver.sparsifier import marginalize_pair_constraint
+
+__all__ = ["LoopCloser", "kf_features", "run_global_ba"]
+
+
+def kf_features(ms: MapState, k) -> OrbFeatures:
+    """View a stored keyframe's features as an OrbFeatures record."""
+    return OrbFeatures(
+        xy=ms.kf_xy[k],
+        angle=ms.kf_angle[k],
+        octave=ms.kf_octave[k],
+        response=jnp.ones((ms.N,), ms.kf_xy.dtype),
+        valid=ms.kf_feat_valid[k],
+        desc_bits=jnp.zeros((ms.N, 8), jnp.uint32),
+        desc_pm1=ms.kf_desc[k],
+    )
+
+
+@partial(jax.jit, static_argnames=("n_trials",))
+def verify_loop(ms: MapState, k, cand, key, n_trials: int = 128):
+    """SearchByBoW-equivalent mutual matching + fundamental RANSAC +
+    MP-pair extraction (VerifyLoopClose, src/GlobalMapper.cpp:256-326).
+
+    Returns (match_idx loop→cur, n_kp, n_mp, n_cur_mp)."""
+    f_loop = kf_features(ms, cand)
+    f_cur = kf_features(ms, k)
+    wm = mutual_match(f_loop, f_cur, nn_ratio=0.9)
+    midx = wm.idx2
+
+    matched = midx >= 0
+    fr = ransac_fundamental(
+        key,
+        f_loop.xy,
+        f_cur.xy[jnp.clip(midx, 0)],
+        matched,
+        n_trials=n_trials,
+        thresh_px=3.0,
+        min_inliers=10,
+    )
+    midx = jnp.where(fr.inliers, midx, -1)
+    n_kp = fr.n_inliers
+
+    m_loop = ms.kf_obs_mp[cand]
+    m_cur = ms.kf_obs_mp[k][jnp.clip(midx, 0)]
+    mp_pair = (
+        (midx >= 0)
+        & (m_loop >= 0)
+        & (m_cur >= 0)
+        & ms.mp_valid[jnp.clip(m_loop, 0)]
+        & ms.mp_valid[jnp.clip(m_cur, 0)]
+    )
+    n_mp = jnp.sum(mp_pair.astype(jnp.int32))
+    n_cur_mp = jnp.sum((ms.kf_obs_mp[k] >= 0).astype(jnp.int32))
+    return midx, n_kp, n_mp, n_cur_mp
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
+    """2-KF mini-BA + Schur sparsification → one relative SE2 constraint
+    (CreateFeatEdge/OptKFPairMatch + Sparsifier,
+    src/GlobalMapper.cpp:781-1032, src/sparsifier.cpp:105-274)."""
+    N = ms.N
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+
+    j = jnp.clip(match_idx, 0)
+    m_loop = ms.kf_obs_mp[cand]
+    pair = (
+        (match_idx >= 0)
+        & (m_loop >= 0)
+        & ms.mp_valid[jnp.clip(m_loop, 0)]
+    )
+    points = ms.mp_pos[jnp.clip(m_loop, 0)]
+    uv_loop = ms.kf_xy[cand]
+    uv_cur = ms.kf_xy[k][j]
+
+    # mini-BA: pose_loop fixed, pose_cur + points free
+    poses = jnp.stack([ms.kf_pose[cand], ms.kf_pose[k]])
+    prob = BAProblem(
+        poses=poses,
+        points=points,
+        pose_valid=jnp.ones((2,), bool),
+        pose_fixed=jnp.asarray([True, False]),
+        point_valid=pair,
+        obs_kf=jnp.concatenate(
+            [jnp.zeros((N,), jnp.int32), jnp.ones((N,), jnp.int32)]
+        ),
+        obs_mp=jnp.concatenate(
+            [jnp.arange(N, dtype=jnp.int32)] * 2
+        ),
+        obs_uv=jnp.concatenate([uv_loop, uv_cur]),
+        obs_info=jnp.broadcast_to(jnp.eye(2, dtype=dtype), (2 * N, 2, 2)),
+        obs_valid=jnp.concatenate([pair, pair]),
+        edge_i=jnp.zeros((1,), jnp.int32),
+        edge_j=jnp.zeros((1,), jnp.int32),
+        edge_meas=jnp.zeros((1, 3), dtype),
+        edge_info=jnp.zeros((1, 3, 3), dtype),
+        edge_valid=jnp.zeros((1,), bool),
+    )
+    ba_cfg = BAConfig(iters=10, huber_delta=float(cfg.th_huber2) ** 0.5)
+    opt_poses, opt_points, info = solve_local_ba(prob, cam, Tcb, ba_cfg)
+
+    # chi2 gate per edge (OptKFPairMatch chi2>5 outliers,
+    # src/GlobalMapper.cpp:1006-1022): drop pairs with bad reprojection
+    from . import factors
+
+    def reproj_chi2(pose, x, uv):
+        r = factors.se2xyz_residual(pose, x, uv, cam, Tcb)
+        return jnp.sum(r * r, axis=-1)
+
+    chi_cur = jax.vmap(lambda x, u: reproj_chi2(opt_poses[1], x, u))(
+        opt_points, uv_cur
+    )
+    chi_loop = jax.vmap(lambda x, u: reproj_chi2(opt_poses[0], x, u))(
+        opt_points, uv_loop
+    )
+    good = pair & (chi_cur < 25.0) & (chi_loop < 25.0)
+
+    meas, cinfo = marginalize_pair_constraint(
+        opt_poses[0], opt_poses[1], opt_points, uv_loop, uv_cur, good,
+        cam, Tcb,
+    )
+    return meas, cinfo, jnp.sum(good.astype(jnp.int32)), good
+
+
+@jax.jit
+def add_ftr_edge(ms: MapState, i, j, meas, info):
+    """Record a sparsified feature/loop constraint (the SE2 analog of
+    KeyFrame::addFtrMeasureFrom, include/se2lam/KeyFrame.h:101-108)."""
+    F = ms.ftr_valid.shape[0]
+    slot = jnp.argmin(ms.ftr_valid)          # first free slot
+    slot = jnp.where(ms.ftr_valid[slot], F, slot)  # bank full → drop
+    return ms._replace(
+        ftr_i=ms.ftr_i.at[slot].set(i, mode="drop"),
+        ftr_j=ms.ftr_j.at[slot].set(j, mode="drop"),
+        ftr_meas=ms.ftr_meas.at[slot].set(meas, mode="drop"),
+        ftr_info=ms.ftr_info.at[slot].set(info, mode="drop"),
+        ftr_valid=ms.ftr_valid.at[slot].set(True, mode="drop"),
+    )
+
+
+@jax.jit
+def merge_loop_mps(ms: MapState, k, cand, match_idx):
+    """Fuse current-KF map points into their matched loop-KF map points
+    (Map::mergeLoopClose, src/Map.cpp:333-352; MapPoint::mergedInto,
+    src/MapPoint.cpp:314-324). The younger (current) point dies; every
+    feature slot pointing at it is remapped to the older survivor."""
+    M = ms.M
+    P = ms.mp_obs_kf.shape[1]
+    j = jnp.clip(match_idx, 0)
+    m_loop = ms.kf_obs_mp[cand]
+    m_cur = ms.kf_obs_mp[k][j]
+    active = (
+        (match_idx >= 0)
+        & (m_loop >= 0)
+        & (m_cur >= 0)
+        & (m_loop != m_cur)
+        & ms.mp_valid[jnp.clip(m_loop, 0)]
+        & ms.mp_valid[jnp.clip(m_cur, 0)]
+    )
+    dead = jnp.where(active, m_cur, M)
+    keep = jnp.where(active, m_loop, M)
+
+    remap = jnp.arange(M, dtype=jnp.int32).at[dead].set(
+        jnp.where(active, m_loop, -1), mode="drop"
+    )
+    new_obs = jnp.where(
+        ms.kf_obs_mp >= 0, remap[jnp.clip(ms.kf_obs_mp, 0)], -1
+    )
+    mp_valid = ms.mp_valid.at[dead].set(False, mode="drop")
+    good = ms.mp_good_prl.at[keep].max(
+        ms.mp_good_prl[jnp.clip(dead, 0, M - 1)], mode="drop"
+    )
+    ms = ms._replace(
+        kf_obs_mp=new_obs, mp_valid=mp_valid, mp_good_prl=good
+    )
+
+    # transfer the dead points' observation lists to the survivors
+    dead_c = jnp.clip(dead, 0, M - 1)
+    for p in range(P):
+        src_ok = active & (p < ms.mp_n_obs[dead_c])
+        slot = ms.mp_n_obs[jnp.clip(keep, 0, M - 1)]
+        ok = src_ok & (slot < P)
+        row = jnp.where(ok, keep, M)
+        col = jnp.where(ok, slot, 0)
+        ms = ms._replace(
+            mp_obs_kf=ms.mp_obs_kf.at[row, col].set(
+                ms.mp_obs_kf[dead_c, p], mode="drop"
+            ),
+            mp_obs_feat=ms.mp_obs_feat.at[row, col].set(
+                ms.mp_obs_feat[dead_c, p], mode="drop"
+            ),
+            mp_n_obs=ms.mp_n_obs.at[row].add(
+                jnp.where(ok, 1, 0), mode="drop"
+            ),
+        )
+    return ms
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def run_global_ba(ms: MapState, iters: int = 15):
+    """Global pose-graph BA over all KFs + MP re-anchoring
+    (GlobalMapper::GlobalBA, src/GlobalMapper.cpp:328-535)."""
+    K = ms.K
+    dtype = ms.kf_pose.dtype
+    old_poses = ms.kf_pose
+
+    # odometry-chain edges
+    nxt = ms.kf_pre_next
+    chain_valid = ms.kf_valid & (nxt >= 0)
+    cov = jnp.where(
+        chain_valid[:, None, None],
+        ms.kf_pre_cov + 1e-10 * jnp.eye(3, dtype=dtype)[None],
+        jnp.eye(3, dtype=dtype)[None],
+    )
+    chain_info = jnp.linalg.inv(cov)
+
+    edge_i = jnp.concatenate([jnp.arange(K, dtype=jnp.int32), ms.ftr_i])
+    edge_j = jnp.concatenate([jnp.clip(nxt, 0), ms.ftr_j])
+    edge_meas = jnp.concatenate([ms.kf_pre_meas, ms.ftr_meas])
+    edge_info = jnp.concatenate([chain_info, ms.ftr_info])
+    edge_valid = jnp.concatenate([chain_valid, ms.ftr_valid])
+    edge_i = jnp.clip(edge_i, 0)
+    edge_j = jnp.clip(edge_j, 0)
+
+    first_kf = jnp.argmax(ms.kf_valid)       # KF0 gauge (src/GlobalMapper.cpp:374)
+    fixed = jnp.zeros((K,), bool).at[first_kf].set(True)
+
+    prob = PoseGraphProblem(
+        poses=ms.kf_pose,
+        pose_valid=ms.kf_valid,
+        pose_fixed=fixed,
+        edge_i=edge_i,
+        edge_j=edge_j,
+        edge_meas=edge_meas,
+        edge_info=edge_info,
+        edge_valid=edge_valid,
+    )
+    new_poses, info = solve_pose_graph(prob, iters=iters)
+
+    # re-anchor every MP rigidly with its main KF's pose correction
+    # (the reference re-derives positions from mainKF mViewMPs,
+    # src/GlobalMapper.cpp:506-531 — same transform)
+    mk = jnp.clip(ms.mp_main_kf, 0)
+    T_delta = jax.vmap(
+        lambda n, o: se2.to_se3(n) @ se3.inv(se2.to_se3(o))
+    )(new_poses[mk], old_poses[mk])
+    new_mp = jax.vmap(se3.apply)(T_delta, ms.mp_pos)
+    new_mp = jnp.where(
+        (ms.mp_valid & (ms.mp_main_kf >= 0))[:, None], new_mp, ms.mp_pos
+    )
+    return (
+        ms._replace(kf_pose=new_poses, mp_pos=new_mp),
+        info,
+    )
+
+
+class LoopCloser:
+    """Host-driven loop-closing controller (the GlobalMapper thread's
+    role). Holds the trained vocabulary and the per-KF BoW bank."""
+
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        n_words: int = 1024,
+        min_kfs_to_train: int = 12,
+        global_ba_iters: int | None = None,
+    ):
+        self.cfg = cfg
+        self.n_words = n_words
+        self.min_kfs_to_train = min_kfs_to_train
+        self.global_ba_iters = (
+            cfg.global_iter if global_ba_iters is None else global_ba_iters
+        )
+        self.vocab = None
+        self.bank = None          # (Kmax, W) BoW vectors
+        self.key = jax.random.PRNGKey(42)
+        self.n_loops_closed = 0
+        self.last_loop: tuple[int, int] | None = None
+
+    def _ensure_vocab(self, ms: MapState):
+        if self.vocab is not None:
+            return True
+        n_kf = int(ms.n_kf)
+        if n_kf < self.min_kfs_to_train:
+            return False
+        desc = ms.kf_desc[:].reshape(-1, 256)
+        valid = (
+            ms.kf_feat_valid & ms.kf_valid[:, None]
+        ).reshape(-1)
+        self.key, sub = jax.random.split(self.key)
+        self.vocab = vocab_mod.train_vocab(
+            desc, valid, n_words=self.n_words, key=sub
+        )
+        # backfill the bank for all existing KFs
+        v, _ = jax.vmap(
+            lambda d, m: vocab_mod.bow_transform(self.vocab, d, m)
+        )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
+        self.bank = v
+        return True
+
+    def on_new_kf(self, ms: MapState, k) -> MapState:
+        k = int(k)
+        if not self._ensure_vocab(ms):
+            return ms
+        v, _ = vocab_mod.bow_transform(
+            self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
+        )
+        self.bank = self.bank.at[k].set(v)
+
+        cfg = self.cfg
+        scores = vocab_mod.bow_score(self.bank, v)
+        ids = jnp.arange(ms.K)
+        eligible = (
+            ms.kf_valid
+            & (ids <= k - cfg.gm_dcl_min_kfid_offset)
+        )
+        scores = jnp.where(eligible, scores, -jnp.inf)
+        cand = int(jnp.argmax(scores))
+        best = float(scores[cand])
+        if best < cfg.gm_dcl_min_score_best:
+            return ms
+
+        # verification
+        self.key, sub = jax.random.split(self.key)
+        midx, n_kp, n_mp, n_cur = verify_loop(
+            ms, k, cand, sub, n_trials=cfg.cap.ransac_trials
+        )
+        n_kp, n_mp, n_cur = int(n_kp), int(n_mp), int(n_cur)
+        if (
+            n_mp < cfg.gm_vcl_num_min_match_mp
+            or n_kp < cfg.gm_vcl_num_min_match_kp
+            or n_mp < cfg.gm_vcl_ratio_min_match_mp * max(n_cur, 1)
+        ):
+            return ms
+
+        meas, info, n_good, _good = build_loop_constraint(
+            ms, k, cand, midx, cfg
+        )
+        if int(n_good) < cfg.gm_vcl_num_min_match_mp:
+            return ms
+
+        ms = add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
+        ms = merge_loop_mps(ms, k, cand, midx)
+        ms, _ = run_global_ba(ms, iters=self.global_ba_iters)
+        self.n_loops_closed += 1
+        self.last_loop = (cand, k)
+        return ms

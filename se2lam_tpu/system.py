@@ -64,7 +64,12 @@ class SlamSystem:
         self.key = jax.random.PRNGKey(0)
         self.timings: dict[str, float] = {}
         self.enable_loops = enable_loops
-        self._loop_closer = None
+        if enable_loops:
+            from .loopclose import LoopCloser
+
+            self._loop_closer = LoopCloser(cfg)
+        else:
+            self._loop_closer = None
         self._pending_odo = None
         self._pending_img = None
 

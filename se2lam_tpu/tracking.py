@@ -104,9 +104,27 @@ def track_frame(
     Tbc = jnp.asarray(cfg.Tbc_mat, ts.ref_pose.dtype)
     N = ts.prev_matched.shape[0]
 
-    # --- 1. window match vs reference KF (src/Track.cpp:131) ---
+    # --- 1. window match vs reference KF (src/Track.cpp:131-132,
+    #        winSize=20) ---
+    # Improvement over the reference: warp the previous positions by the
+    # odometry-predicted camera rotation (infinite homography H = K R K⁻¹)
+    # before the window search, so rotation-dominant motion stays inside
+    # the 20 px window. The reference searches around the raw previous
+    # positions and loses the frame under fast yaw.
+    odom_in = jnp.asarray(odom, ts.ref_pose.dtype)
+    d_step = se2.minus(odom_in, ts.last_odom)
+    Rcc = (Tcb @ se2.to_se3(se2.inv(d_step)) @ Tbc)[:3, :3]
+    Kmat = jnp.asarray(
+        [[cfg.fx, 0.0, cfg.cx], [0.0, cfg.fy, cfg.cy], [0.0, 0.0, 1.0]],
+        ts.ref_pose.dtype,
+    )
+    H = Kmat @ Rcc @ jnp.linalg.inv(Kmat)
+    ones = jnp.ones((N, 1), ts.prev_matched.dtype)
+    ph = jnp.concatenate([ts.prev_matched, ones], axis=1) @ H.T
+    pred_xy = ph[:, :2] / jnp.maximum(ph[:, 2:3], 1e-6)
+
     wm = match_by_window(
-        ts.ref_feats, feats, ts.prev_matched, win_size=20.0, nn_ratio=0.9
+        ts.ref_feats, feats, pred_xy, win_size=20.0, nn_ratio=0.9
     )
     midx = wm.idx2
 

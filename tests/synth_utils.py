@@ -21,7 +21,7 @@ def make_cfg(n_feats=64, **kw):
         min_frames_between_kf=2, max_frames_between_kf=10,
         cap=Capacity(
             n_features=n_feats, ransac_trials=64,
-            max_kfs=32, max_mps=512, local_kfs=8, local_ref_kfs=8,
+            max_kfs=64, max_mps=512, local_kfs=8, local_ref_kfs=8,
             local_mps=256,
         ),
     )

@@ -1,0 +1,190 @@
+"""Loop-closure stack tests: vocabulary scoring, the sparsified pair
+constraint, and full-loop detection + global correction on a drifted
+circular trajectory (the GlobalMapper role)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from se2lam_tpu import loopclose, vocab as vocab_mod
+from se2lam_tpu.ops import se2
+from se2lam_tpu.ops.camera import CameraModel
+from se2lam_tpu.solver.sparsifier import marginalize_pair_constraint
+
+from synth_utils import TCB, feats_at, make_cfg, make_scene
+
+
+# ---------------------------------------------------------------------------
+# vocabulary
+# ---------------------------------------------------------------------------
+
+def test_vocab_same_scene_scores_higher(rng):
+    D = 512
+    descs = (1 - 2 * (rng.random((3, D, 256)) < 0.5)).astype(np.int8)
+    valid = jnp.ones((D,), bool)
+    # frame B shares 60% of frame A's descriptors; frame C is independent
+    shared = int(D * 0.6)
+    descs[1, :shared] = descs[0, :shared]
+    train = jnp.asarray(descs.reshape(-1, 256))
+    voc = vocab_mod.train_vocab(
+        train, jnp.ones((3 * D,), bool), n_words=128, iters=4
+    )
+    va, _ = vocab_mod.bow_transform(voc, jnp.asarray(descs[0]), valid)
+    vb, _ = vocab_mod.bow_transform(voc, jnp.asarray(descs[1]), valid)
+    vc, _ = vocab_mod.bow_transform(voc, jnp.asarray(descs[2]), valid)
+    bank = jnp.stack([va, vb, vc])
+    s = np.asarray(vocab_mod.bow_score(bank, va))
+    assert s[0] == pytest.approx(1.0, abs=1e-5)  # self-score = 1
+    assert s[1] > s[2] + 0.05                    # overlap ranks higher
+
+
+# ---------------------------------------------------------------------------
+# sparsifier
+# ---------------------------------------------------------------------------
+
+def test_pair_constraint_info_spd_and_scales(rng):
+    cam = CameraModel.create(420.0, 420.0, 320.0, 240.0)
+    Tcb = jnp.asarray(TCB, jnp.float32)
+    pose_i = jnp.asarray([0.0, 0.0, 0.0])
+    pose_j = jnp.asarray([0.5, 0.1, 0.05])
+    M = 40
+    pts = jnp.asarray(
+        np.stack(
+            [rng.uniform(3, 6, M), rng.uniform(-2, 2, M), rng.uniform(-1, 1, M)],
+            -1,
+        ),
+        jnp.float32,
+    )
+
+    def uv_of(pose):
+        from se2lam_tpu import factors
+
+        return jax.vmap(
+            lambda x: factors.se2xyz_residual(pose, x, jnp.zeros(2), cam, Tcb)
+        )(pts)
+
+    uv_i, uv_j = uv_of(pose_i), uv_of(pose_j)
+    many = jnp.ones((M,), bool)
+    few = jnp.arange(M) < 8
+
+    meas, info_many = marginalize_pair_constraint(
+        pose_i, pose_j, pts, uv_i, uv_j, many, cam, Tcb
+    )
+    _, info_few = marginalize_pair_constraint(
+        pose_i, pose_j, pts, uv_i, uv_j, few, cam, Tcb
+    )
+    np.testing.assert_allclose(
+        np.asarray(meas), np.asarray(se2.minus(pose_j, pose_i)), atol=1e-6
+    )
+    ev_many = np.linalg.eigvalsh(np.asarray(info_many))
+    ev_few = np.linalg.eigvalsh(np.asarray(info_few))
+    assert (ev_many > 0).all() and (ev_few > 0).all()
+    assert (ev_many <= 1e4 + 1).all()
+    # more observations → more information
+    assert np.trace(np.asarray(info_many)) > np.trace(np.asarray(info_few))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end loop closure on a drifted circle
+# ---------------------------------------------------------------------------
+
+def circle_poses(n, radius=2.0):
+    ts = np.linspace(0, 2 * np.pi, n)
+    th = np.arctan2(np.sin(ts + np.pi / 2), np.cos(ts + np.pi / 2))
+    return np.stack(
+        [radius * np.cos(ts), radius * np.sin(ts), th], -1
+    ).astype(np.float32)
+
+
+def test_full_loop_closure_reduces_drift(rng):
+    """Drive a full circle with drifting odometry; when the rover returns
+    to the start the LoopCloser must fire and global BA must pull the
+    final pose back toward ground truth."""
+    from se2lam_tpu import localmap, tracking
+    from se2lam_tpu.mapstate import empty_map
+
+    n_feats = 96
+    cfg = make_cfg(
+        n_feats,
+        gm_dcl_min_kfid_offset=8,
+        gm_vcl_num_min_match_mp=10,
+        gm_vcl_num_min_match_kp=15,
+        min_frames_between_kf=1,
+        max_frames_between_kf=3,
+    )
+    # landmarks all around the circle (room walls)
+    pts = np.stack(
+        [
+            rng.uniform(-6, 6, n_feats),
+            rng.uniform(-6, 6, n_feats),
+            rng.uniform(-0.5, 1.5, n_feats),
+        ],
+        -1,
+    )
+    # push them outside the circle so they're visible from the rim
+    r = np.linalg.norm(pts[:, :2], axis=1)
+    pts[:, :2] *= (5.0 / np.maximum(r, 1e-6))[:, None]
+    bits = (rng.random((n_feats, 256)) < 0.5).astype(np.uint8)
+
+    n = 90
+    gt = circle_poses(n, radius=2.0)
+    # drifted odometry
+    nrng = np.random.default_rng(5)
+    odo = [gt[0]]
+    for i in range(1, n):
+        d = np.asarray(se2.minus(jnp.asarray(gt[i]), jnp.asarray(gt[i - 1])))
+        d = d + np.asarray([0.002, 0.001, 0.0015]) + nrng.normal(
+            0, [0.001, 0.001, 0.001]
+        ).astype(np.float32)
+        odo.append(
+            np.asarray(
+                se2.compose(jnp.asarray(odo[-1]), jnp.asarray(d, jnp.float32)),
+                np.float32,
+            )
+        )
+    odo = np.stack(odo)
+
+    closer = loopclose.LoopCloser(
+        cfg, n_words=64, min_kfs_to_train=10, global_ba_iters=10
+    )
+    ms = empty_map(cfg.cap)
+    f0 = feats_at(cfg, gt[0], pts, bits)
+    ms = localmap.insert_first_kf(ms, f0, jnp.asarray(odo[0]), jnp.asarray(odo[0]))
+    view, mask = localmap.kf_track_seed(ms, 0)
+    ts = tracking.init_track_state(
+        f0, jnp.asarray(odo[0]), jnp.asarray(odo[0]), 0, view, mask
+    )
+    kfs = [0]
+    kf_gt = {0: gt[0]}
+    for i in range(1, n):
+        f = feats_at(cfg, gt[i], pts, bits)
+        ts, res = tracking.track_frame(
+            ts, f, jnp.asarray(odo[i]), jax.random.PRNGKey(i), cfg
+        )
+        if bool(res.need_kf):
+            ms, k = localmap.add_keyframe(
+                ms, f, ts.cur_pose, jnp.asarray(odo[i]), ts.ref_kf_idx,
+                ts.match_idx, ts.local_mps, ts.local_mp_valid, ts.good_prl,
+                ts.pre_meas, ts.pre_cov, cfg,
+            )
+            k = int(k)
+            kfs.append(k)
+            kf_gt[k] = gt[i]
+            ms, _ = localmap.run_local_ba(ms, jnp.asarray(k), cfg)
+            err_before = np.linalg.norm(
+                np.asarray(ms.kf_pose[k][:2]) - gt[i][:2]
+            )
+            ms = closer.on_new_kf(ms, k)
+            view, mask = localmap.kf_track_seed(ms, k)
+            ts = tracking.init_track_state(
+                f, ms.kf_pose[k], jnp.asarray(odo[i]), k, view, mask
+            )
+
+    assert closer.n_loops_closed >= 1, "no loop detected on a closed circle"
+    # after closure, KF poses must be closer to gt than raw odometry was
+    last_k = kfs[-1]
+    est = np.asarray(ms.kf_pose[last_k][:2])
+    gt_last = kf_gt[last_k][:2]
+    odo_err = np.linalg.norm(odo[-1][:2] - gt[-1][:2])
+    slam_err = np.linalg.norm(est - gt_last)
+    assert slam_err < odo_err, (slam_err, odo_err)
