@@ -1,0 +1,242 @@
+"""Localization-only mode against a previously built map.
+
+TPU-native re-derivation of the reference Localizer thread
+(src/Localizer.cpp:32-176), which replaces Track/LocalMapper/GlobalMapper
+when LOCALIZATION_ONLY is set (src/OdoSLAM.cpp:120-132):
+
+- tracked: pose predicted by odometry from the last estimate
+  (UpdatePoseCurr, :614-619), map points projected and matched
+  (MatchLocalMap, :211-230), pose-only BA on fixed points
+  (DoLocalBA, :233-302)
+- lost: BoW relocalization against the whole KF bank
+  (DetectLoopClose, :337-392; best score > 0.05), descriptor match +
+  RANSAC verification (VerifyLoopClose ≥45 inliers, :394-431), adopt the
+  matched KF's pose and re-localize with two BA rounds
+- per-frame trajectory recorded (WriteTrajFile, :178-193)
+
+Projection matching runs against the FULL map-point bank in one batched
+pass — the reference's covisibility-local-map bookkeeping exists to keep
+CPU work bounded; on the MXU the full bank is cheaper than the
+bookkeeping.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import vocab as vocab_mod
+from .config import SystemConfig
+from .frontend.matcher import match_by_projection, mutual_match
+from .frontend.orb import OrbConfig, OrbFeatures, make_extractor
+from .frontend.ransac import ransac_fundamental
+from .loopclose import kf_features
+from .mapstate import MapState, kf_Tcw
+from .ops import se2, se3
+from .ops.camera import CameraModel, undistort_points
+from .solver.poseonly import solve_pose_only
+from .vocab import Vocabulary
+
+__all__ = ["Localizer"]
+
+
+def _project_and_match(ms: MapState, feats: OrbFeatures, pose, cfg: SystemConfig):
+    """Project all valid map points into the predicted view and match."""
+    dtype = ms.kf_pose.dtype
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    Tcw = kf_Tcw(pose, Tcb)
+    lc = se3.apply(Tcw, ms.mp_pos)
+    z = lc[..., 2]
+    u = cfg.fx * lc[..., 0] / jnp.where(z == 0, 1.0, z) + cfg.cx
+    v = cfg.fy * lc[..., 1] / jnp.where(z == 0, 1.0, z) + cfg.cy
+    cand = (
+        ms.mp_valid
+        & (z > 0)
+        & (u >= 0) & (u < cfg.width) & (v >= 0) & (v < cfg.height)
+    )
+    feat_match, n = match_by_projection(
+        feats,
+        jnp.stack([u, v], -1),
+        ms.mp_main_octave,
+        ms.mp_desc,
+        cand,
+        feats.valid,
+    )
+    return feat_match, n
+
+
+@jax.jit
+def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key):
+    """Descriptor match + RANSAC inlier count vs a candidate keyframe
+    (Localizer::VerifyLoopClose, src/Localizer.cpp:394-431).
+
+    Returns (n_inliers, mp_idx, uv, pair_valid): direct 2D-3D
+    correspondences — candidate-KF features with map points matched to
+    current-frame pixels (the MatchLoopClose role, :433-454)."""
+    f_kf = kf_features(ms, cand)
+    wm = mutual_match(f_kf, feats, nn_ratio=0.9)
+    midx = wm.idx2
+    matched = midx >= 0
+    fr = ransac_fundamental(
+        key, f_kf.xy, feats.xy[jnp.clip(midx, 0)], matched,
+        n_trials=128, thresh_px=3.0, min_inliers=10,
+    )
+    inl = jnp.where(fr.inliers, midx, -1)
+    mp = ms.kf_obs_mp[cand]
+    pair = (inl >= 0) & (mp >= 0) & ms.mp_valid[jnp.clip(mp, 0)]
+    uv = feats.xy[jnp.clip(inl, 0)]
+    return fr.n_inliers, jnp.clip(mp, 0), uv, pair
+
+
+class Localizer:
+    """Host-driven localization loop over a loaded map."""
+
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        ms: MapState,
+        vocab: Vocabulary | None = None,
+        reloc_min_score: float = 0.05,
+        reloc_min_inliers: int = 45,
+        min_tracked_matches: int = 10,
+    ):
+        self.cfg = cfg
+        self.ms = ms
+        self.vocab = vocab
+        self.reloc_min_score = reloc_min_score
+        self.reloc_min_inliers = reloc_min_inliers
+        self.min_tracked_matches = min_tracked_matches
+
+        self.orb_cfg = OrbConfig(
+            height=cfg.height, width=cfg.width,
+            n_features=cfg.cap.n_features,
+            scale_factor=cfg.scale_factor, n_levels=cfg.max_level,
+        )
+        self._extract = jax.jit(make_extractor(self.orb_cfg))
+        self._cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+        self._undistort = any(abs(d) > 0 for d in cfg.dist)
+
+        if vocab is not None:
+            bank, _ = jax.vmap(
+                lambda d, m: vocab_mod.bow_transform(vocab, d, m)
+            )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
+            self.bank = bank
+        else:
+            self.bank = None
+
+        self.pose = None          # (3,) last estimate; None until localized
+        self.last_odom = None
+        self.lost = True
+        self.frame_id = 0
+        self.trajectory: list[tuple[int, np.ndarray, bool]] = []
+        self.key = jax.random.PRNGKey(7)
+
+    # -- public API --
+
+    def process(self, img, odo) -> np.ndarray | None:
+        feats = self._extract(jnp.asarray(img, jnp.float32))
+        if self._undistort:
+            feats = feats._replace(xy=undistort_points(self._cam, feats.xy))
+        return self.process_features(feats, odo)
+
+    def process_features(self, feats: OrbFeatures, odo) -> np.ndarray | None:
+        cfg = self.cfg
+        odo = jnp.asarray(odo, jnp.float32)
+        Tcb = jnp.asarray(cfg.Tcb_mat, jnp.float32)
+        cam = self._cam
+
+        if not self.lost and self.pose is not None:
+            # odometry prediction (UpdatePoseCurr, src/Localizer.cpp:614)
+            pred = se2.compose(
+                jnp.asarray(self.pose), se2.minus(odo, self.last_odom)
+            )
+            feat_match, n = _project_and_match(self.ms, feats, pred, cfg)
+            if int(n) >= self.min_tracked_matches:
+                m = jnp.clip(feat_match, 0)
+                pose, chi, n_in = solve_pose_only(
+                    pred,
+                    self.ms.mp_pos[m],
+                    feats.xy,
+                    feat_match >= 0,
+                    cam,
+                    Tcb,
+                    iters=30,
+                )
+                if int(n_in) >= self.min_tracked_matches:
+                    self._accept(pose, odo, tracked=True)
+                    return np.asarray(pose)
+            self.lost = True
+
+        # lost → BoW relocalization (src/Localizer.cpp:88-155)
+        pose = self._relocalize(feats, odo)
+        if pose is not None:
+            self._accept(pose, odo, tracked=False)
+            return np.asarray(pose)
+        # stay lost; record a hole
+        self.trajectory.append((self.frame_id, None, False))
+        self.frame_id += 1
+        self.last_odom = odo
+        return None
+
+    # -- internals --
+
+    def _accept(self, pose, odo, tracked: bool):
+        self.pose = np.asarray(pose)
+        self.last_odom = odo
+        self.lost = False
+        self.trajectory.append((self.frame_id, self.pose.copy(), tracked))
+        self.frame_id += 1
+
+    def _relocalize(self, feats: OrbFeatures, odo):
+        if self.bank is None:
+            return None
+        v, _ = vocab_mod.bow_transform(self.vocab, feats.desc_pm1, feats.valid)
+        scores = jnp.where(
+            self.ms.kf_valid, vocab_mod.bow_score(self.bank, v), -jnp.inf
+        )
+        cand = int(jnp.argmax(scores))
+        if float(scores[cand]) < self.reloc_min_score:
+            return None
+        self.key, sub = jax.random.split(self.key)
+        n_in, mp_idx, uv, pair = _relocalize_verify(self.ms, cand, feats, sub)
+        if int(n_in) < self.reloc_min_inliers:
+            return None
+        cam = self._cam
+        Tcb = jnp.asarray(self.cfg.Tcb_mat, jnp.float32)
+        # pose from the direct 2D-3D matches, seeded at the candidate's
+        # pose, then projection-refinement rounds (src/Localizer.cpp:121-140)
+        pose, chi, n_ok = solve_pose_only(
+            self.ms.kf_pose[cand],
+            self.ms.mp_pos[mp_idx],
+            uv,
+            pair,
+            cam,
+            Tcb,
+            iters=30,
+        )
+        if int(n_ok) < self.min_tracked_matches:
+            return None
+        for _ in range(2):
+            feat_match, n = _project_and_match(self.ms, feats, pose, self.cfg)
+            if int(n) < self.min_tracked_matches:
+                return None
+            m = jnp.clip(feat_match, 0)
+            pose, chi, n_ok = solve_pose_only(
+                pose, self.ms.mp_pos[m], feats.xy, feat_match >= 0,
+                cam, Tcb, iters=30,
+            )
+        if int(n_ok) < self.min_tracked_matches:
+            return None
+        return pose
+
+    def save_trajectory(self, path: str):
+        """Per-frame CSV: frame_id, x, y, theta, tracked
+        (Localizer::WriteTrajFile, src/Localizer.cpp:178-193)."""
+        with open(path, "w") as f:
+            for fid, p, tracked in self.trajectory:
+                if p is None:
+                    f.write(f"{fid},nan,nan,nan,0\n")
+                else:
+                    f.write(
+                        f"{fid},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f},{int(tracked)}\n"
+                    )

@@ -1,0 +1,105 @@
+"""Localization-only mode tests: build a map on the synthetic world,
+checkpoint it, reload, and localize a fresh traversal — including cold
+relocalization from the lost state (the reference Localizer's role,
+src/Localizer.cpp)."""
+import numpy as np
+import pytest
+
+from se2lam_tpu.config import Capacity, SystemConfig
+from se2lam_tpu.frontend.orb import OrbConfig
+from se2lam_tpu.io import SyntheticWorld, load_map, save_map
+from se2lam_tpu.localizer import Localizer
+from se2lam_tpu.system import SlamSystem
+from se2lam_tpu.vocab import train_vocab
+
+from synth_utils import TCB
+
+
+@pytest.fixture(scope="module")
+def built_map(tmp_path_factory):
+    oc = OrbConfig(
+        height=240, width=320, n_features=256, scale_factor=1.2, n_levels=2
+    )
+    cfg = SystemConfig(
+        width=320, height=240, fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=256, max_level=2,
+        min_frames_between_kf=2, max_frames_between_kf=8, local_iter=6,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=64, max_mps=4096,
+            local_kfs=8, local_ref_kfs=8, local_mps=512, ransac_trials=64,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=600, room=10.0, seed=4)
+    slam = SlamSystem(cfg, enable_loops=False)
+    for img, odo in world.sequence(60, noise=(0.001, 0.001, 0.0005)):
+        slam.process(img, odo)
+
+    import jax
+
+    desc = slam.ms.kf_desc.reshape(-1, 256)
+    valid = (slam.ms.kf_feat_valid & slam.ms.kf_valid[:, None]).reshape(-1)
+    vocab = train_vocab(desc, valid, n_words=256, iters=5)
+
+    path = str(tmp_path_factory.mktemp("map") / "saved_map")
+    save_map(path, slam.ms, vocab, meta={"source": "synthetic"})
+    return cfg, world, path, slam
+
+
+def test_map_storage_roundtrip(built_map):
+    cfg, world, path, slam = built_map
+    ms2, vocab2, info = load_map(path)
+    assert info["n_kf"] == slam.n_keyframes()
+    assert vocab2 is not None
+    np.testing.assert_array_equal(
+        np.asarray(slam.ms.kf_pose), np.asarray(ms2.kf_pose)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(slam.ms.mp_pos), np.asarray(ms2.mp_pos)
+    )
+    assert info["meta"]["source"] == "synthetic"
+
+
+def test_localizer_cold_start_and_track(built_map):
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+    loc = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+
+    gt = world.circle_trajectory(60)
+    # the map frame is gauged at the first SLAM frame's body pose, so
+    # ground truth must be expressed relative to gt[0]
+    import jax.numpy as jnp
+
+    from se2lam_tpu.ops import se2
+
+    gt_map = np.asarray(
+        [np.asarray(se2.minus(jnp.asarray(g), jnp.asarray(gt[0]))) for g in gt]
+    )
+    # second traversal with noisy odometry, starting mid-circle (kidnapped)
+    start = 15
+    odo = world.odometry(gt, noise=(0.002, 0.001, 0.001), seed=9)
+    errs = []
+    n_localized = 0
+    for i in range(start, start + 20):
+        img = world.render(gt[i])
+        p = loc.process(img, odo[i])
+        if p is not None:
+            n_localized += 1
+            errs.append(np.linalg.norm(p[:2] - gt_map[i][:2]))
+    assert n_localized >= 15, f"only {n_localized} frames localized"
+    assert np.median(errs) < 0.3, f"median err {np.median(errs)}"
+
+
+def test_localizer_trajectory_csv(built_map, tmp_path):
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+    loc = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    gt = world.circle_trajectory(60)
+    odo = world.odometry(gt, noise=(0.0, 0.0, 0.0), seed=1)
+    for i in range(3):
+        loc.process(world.render(gt[i]), odo[i])
+    out = tmp_path / "loc_traj.csv"
+    loc.save_trajectory(str(out))
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 3
