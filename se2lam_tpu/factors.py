@@ -194,6 +194,34 @@ def preintegrate_se2(meas, cov, d_odo, odo_noise):
     return new_meas, new_cov
 
 
+def compose_preintegration(meas_a, cov_a, meas_b, cov_b):
+    """Chain two preintegrated SE2 segments a→b→c into one a→c.
+
+    Same error-state propagation as ``preintegrate_se2`` but with a whole
+    segment as the step: meas = meas_a ⊕ meas_b, cov = A Σa Aᵀ + B Σb Bᵀ
+    with A = [[I, R(θa)·J·Δr_b], [0, 1]], B = [[R(θa), 0], [0, 1]].
+    Used when pruning a keyframe splices its two odometry edges into one
+    (reference Map::pruneRedundantKF, src/Map.cpp:222-257).
+    """
+    Phi = se2.rot2(meas_a[..., 2])
+    drb = meas_b[..., :2]
+    new_xy = meas_a[..., :2] + jnp.einsum("...ij,...j->...i", Phi, drb)
+    new_t = meas_a[..., 2] + meas_b[..., 2]
+    new_meas = jnp.concatenate([new_xy, new_t[..., None]], axis=-1)
+
+    drb_perp = jnp.stack([-drb[..., 1], drb[..., 0]], axis=-1)
+    A = jnp.broadcast_to(
+        jnp.eye(3, dtype=meas_a.dtype), cov_a.shape
+    ).at[..., :2, 2].set(jnp.einsum("...ij,...j->...i", Phi, drb_perp))
+    B = jnp.broadcast_to(jnp.eye(3, dtype=meas_a.dtype), cov_a.shape)
+    B = B.at[..., :2, :2].set(Phi)
+    new_cov = (
+        A @ cov_a @ jnp.swapaxes(A, -1, -2)
+        + B @ cov_b @ jnp.swapaxes(B, -1, -2)
+    )
+    return new_meas, new_cov
+
+
 def odo_constraint_info_se3(d_odo, odo_uncertain, odo_noise):
     """Diagonal 6x6 information of a raw-odometry SE3 constraint in
     [trans(3), rot(3)] twist order (Track::calcOdoConstraintCam,

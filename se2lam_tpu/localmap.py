@@ -328,6 +328,135 @@ def add_keyframe(
 
 
 # ---------------------------------------------------------------------------
+# Keyframe pruning
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def prune_redundant_kf(ms: MapState, cur_kf):
+    """Remove at most one redundant keyframe per call
+    (Map::pruneRedundantKF, src/Map.cpp:146-283; the reference loops ≤5
+    rounds, the system shell does the same).
+
+    A KF is redundant when ≥80% of its observed map points are seen by at
+    least 2 other keyframes. The pruned KF's two odometry edges are
+    spliced into one composed preintegration; its observations are
+    removed from every map point's list.
+    """
+    K, M, N = ms.K, ms.M, ms.N
+    P = ms.mp_obs_kf.shape[1]
+
+    # per-KF redundancy score
+    obs = ms.kf_obs_mp                               # (K, N)
+    has = obs >= 0
+    n_obs_mp = ms.mp_n_obs[jnp.clip(obs, 0)]         # (K, N) total observers
+    well_seen = has & (n_obs_mp >= 3)                # ≥2 others + itself
+    n_mp_kf = jnp.sum(has, axis=1)
+    ratio = jnp.sum(well_seen, axis=1) / jnp.maximum(n_mp_kf, 1)
+
+    # must be interior to the odometry chain and not the current/first KF
+    has_next = ms.kf_pre_next >= 0
+    prev_of = jnp.full((K,), -1, jnp.int32).at[
+        jnp.clip(ms.kf_pre_next, 0)
+    ].set(jnp.where(has_next, jnp.arange(K, dtype=jnp.int32), -1),
+          mode="drop")
+    candidate = (
+        ms.kf_valid
+        & (ratio >= 0.8)
+        & (n_mp_kf > 0)
+        & has_next
+        & (prev_of >= 0)
+        & (jnp.arange(K) != cur_kf)
+    )
+    any_cand = jnp.any(candidate)
+    # lowest-id candidate (reference scans in id order, src/Map.cpp:151)
+    kid = jnp.argmax(
+        jnp.where(candidate, jnp.arange(K, 0, -1), 0)
+    )
+    kid_c = jnp.where(any_cand, kid, 0)
+
+    prev = jnp.clip(prev_of[kid_c], 0)
+    nxt = jnp.clip(ms.kf_pre_next[kid_c], 0)
+
+    # splice the odometry chain with composed preintegration
+    new_meas, new_cov = factors.compose_preintegration(
+        ms.kf_pre_meas[prev], ms.kf_pre_cov[prev],
+        ms.kf_pre_meas[kid_c], ms.kf_pre_cov[kid_c],
+    )
+    pre_next = ms.kf_pre_next.at[prev].set(nxt)
+    pre_meas = ms.kf_pre_meas.at[prev].set(new_meas)
+    pre_cov = ms.kf_pre_cov.at[prev].set(new_cov)
+    pre_next = pre_next.at[kid_c].set(-1)
+
+    # remove the KF's observations from MP lists: compact each list with
+    # entries of kid pushed out (stable within the fixed fan-in P)
+    hit = ms.mp_obs_kf == kid_c                       # (M, P)
+    keep = (~hit) & (ms.mp_obs_kf >= 0)
+    order = jnp.argsort(
+        jnp.where(keep, 0, 1)
+        * P + jax.lax.broadcasted_iota(jnp.int32, (M, P), 1), axis=1
+    )
+    take = jnp.take_along_axis
+    obs_kf_new = jnp.where(keep, ms.mp_obs_kf, -1)
+    obs_kf_new = take(obs_kf_new, order, axis=1)
+    obs_ft_new = jnp.where(keep, ms.mp_obs_feat, -1)
+    obs_ft_new = take(obs_ft_new, order, axis=1)
+    n_obs_new = jnp.sum(obs_kf_new >= 0, axis=1).astype(jnp.int32)
+
+    # main-KF reassignment for MPs anchored at the pruned KF: the first
+    # remaining observer becomes main (MapPoint::setNull analog)
+    was_main = ms.mp_main_kf == kid_c
+    new_main_kf = jnp.where(was_main, obs_kf_new[:, 0], ms.mp_main_kf)
+    new_main_ft = jnp.where(was_main, obs_ft_new[:, 0], ms.mp_main_feat)
+    alive = n_obs_new >= 2
+
+    pruned = MapState(
+        kf_pose=ms.kf_pose,
+        kf_odom=ms.kf_odom,
+        kf_valid=ms.kf_valid.at[kid_c].set(False),
+        kf_xy=ms.kf_xy,
+        kf_octave=ms.kf_octave,
+        kf_angle=ms.kf_angle,
+        kf_feat_valid=ms.kf_feat_valid.at[kid_c].set(False),
+        kf_desc=ms.kf_desc,
+        kf_obs_mp=ms.kf_obs_mp.at[kid_c].set(
+            jnp.full((N,), -1, jnp.int32)
+        ),
+        kf_view_mp=ms.kf_view_mp,
+        kf_view_info=ms.kf_view_info,
+        kf_pre_next=pre_next,
+        kf_pre_meas=pre_meas,
+        kf_pre_cov=pre_cov,
+        covis=ms.covis.at[kid_c].set(False).at[:, kid_c].set(False),
+        ftr_i=ms.ftr_i,
+        ftr_j=ms.ftr_j,
+        ftr_meas=ms.ftr_meas,
+        ftr_info=ms.ftr_info,
+        ftr_valid=ms.ftr_valid
+        & (ms.ftr_i != kid_c)
+        & (ms.ftr_j != kid_c),
+        mp_pos=ms.mp_pos,
+        mp_valid=ms.mp_valid & alive,
+        mp_good_prl=ms.mp_good_prl,
+        mp_desc=ms.mp_desc,
+        mp_normal=ms.mp_normal,
+        mp_main_kf=new_main_kf,
+        mp_main_feat=new_main_ft,
+        mp_main_octave=ms.mp_main_octave,
+        mp_min_dist=ms.mp_min_dist,
+        mp_max_dist=ms.mp_max_dist,
+        mp_obs_kf=obs_kf_new,
+        mp_obs_feat=obs_ft_new,
+        mp_n_obs=n_obs_new,
+        n_kf=ms.n_kf,
+        n_mp=ms.n_mp,
+    )
+    out = jax.tree.map(
+        lambda a, b: jnp.where(any_cand, a, b), pruned, ms
+    )
+    return out, jnp.where(any_cand, kid_c, -1)
+
+
+# ---------------------------------------------------------------------------
 # Local graph selection
 # ---------------------------------------------------------------------------
 

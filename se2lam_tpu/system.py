@@ -63,6 +63,7 @@ class SlamSystem:
         self.trajectory: list[tuple[int, np.ndarray]] = []
         self.key = jax.random.PRNGKey(0)
         self.timings: dict[str, float] = {}
+        self.prune_rounds = 2
         self.enable_loops = enable_loops
         if enable_loops:
             from .loopclose import LoopCloser
@@ -155,6 +156,16 @@ class SlamSystem:
             cfg,
         )
         self.timings["add_kf"] = time.perf_counter() - t0
+
+        # bounded pruning rounds before BA (LocalMapper run loop order:
+        # prune ≤5 then localBA, src/LocalMapper.cpp:304-364; each call
+        # removes at most one redundant KF)
+        t0 = time.perf_counter()
+        for _ in range(self.prune_rounds):
+            self.ms, kid = localmap.prune_redundant_kf(self.ms, k)
+            if int(kid) < 0:
+                break
+        self.timings["prune"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         self.ms, ba_info = localmap.run_local_ba(self.ms, k, cfg)

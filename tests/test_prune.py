@@ -1,0 +1,108 @@
+"""Keyframe pruning tests (Map::pruneRedundantKF, src/Map.cpp:146-283):
+redundant interior KFs are removed, the odometry chain is spliced with a
+composed preintegration, and observation lists stay consistent."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se2lam_tpu import localmap
+from se2lam_tpu.ops import se2
+
+from synth_utils import feats_at, make_cfg, make_scene
+from test_localmap import drive_frames, motion_poses
+
+
+def dense_map(rng):
+    """Slow forward motion with KFs every frame → heavy redundancy."""
+    cfg = make_cfg(min_frames_between_kf=1, max_frames_between_kf=2)
+    pts, bits = make_scene(rng, n=64, depth=(3.0, 8.0))
+    poses = motion_poses(17, step=(0.08, 0.05, 0.01))
+    ms, kfs = drive_frames(cfg, poses, poses, pts, bits)
+    return cfg, ms, kfs
+
+
+def check_consistency(ms):
+    obs_kf = np.asarray(ms.mp_obs_kf)
+    obs_ft = np.asarray(ms.mp_obs_feat)
+    kf_obs = np.asarray(ms.kf_obs_mp)
+    n_obs = np.asarray(ms.mp_n_obs)
+    mv = np.asarray(ms.mp_valid)
+    kv = np.asarray(ms.kf_valid)
+    for m in np.nonzero(mv)[0]:
+        for p in range(n_obs[m]):
+            k, f = obs_kf[m, p], obs_ft[m, p]
+            assert k >= 0 and kv[k], (m, p, k)
+            assert kf_obs[k, f] == m, (m, p, k, f, kf_obs[k, f])
+
+
+def test_prune_removes_redundant_kf(rng):
+    cfg, ms, kfs = dense_map(rng)
+    n_valid_before = int(jnp.sum(ms.kf_valid))
+    assert n_valid_before >= 6
+
+    ms2, kid = localmap.prune_redundant_kf(ms, jnp.asarray(kfs[-1]))
+    kid = int(kid)
+    assert kid >= 0, "no redundant KF found in a dense map"
+    assert not bool(ms2.kf_valid[kid])
+    assert int(jnp.sum(ms2.kf_valid)) == n_valid_before - 1
+    # pruned KF's row cleared; no MP list references it
+    assert int((ms2.kf_obs_mp[kid] >= 0).sum()) == 0
+    assert not np.any(np.asarray(ms2.mp_obs_kf) == kid)
+    check_consistency(ms2)
+
+
+def test_prune_splices_odometry_chain(rng):
+    cfg, ms, kfs = dense_map(rng)
+    ms2, kid = localmap.prune_redundant_kf(ms, jnp.asarray(kfs[-1]))
+    kid = int(kid)
+    assert kid >= 0
+    nxt_arr = np.asarray(ms.kf_pre_next)
+    prev = int(np.nonzero(nxt_arr == kid)[0][0])
+    nxt = int(nxt_arr[kid])
+    # chain now skips the pruned KF
+    assert int(ms2.kf_pre_next[prev]) == nxt
+    assert int(ms2.kf_pre_next[kid]) == -1
+    # composed measurement equals the direct relative odometry
+    odo_prev = np.asarray(ms.kf_odom[prev])
+    odo_next = np.asarray(ms.kf_odom[nxt])
+    direct = np.asarray(
+        se2.minus(jnp.asarray(odo_next), jnp.asarray(odo_prev))
+    )
+    np.testing.assert_allclose(
+        np.asarray(ms2.kf_pre_meas[prev]), direct, atol=1e-5
+    )
+    # covariance stays SPD
+    ev = np.linalg.eigvalsh(np.asarray(ms2.kf_pre_cov[prev]))
+    assert (ev > 0).all()
+
+
+def test_prune_noop_when_nothing_redundant(rng):
+    """A sparse map (long baseline, few shared MPs) must not be pruned."""
+    cfg = make_cfg()
+    pts, bits = make_scene(rng)
+    poses = motion_poses(5, step=(0.4, 0.3, 0.05))
+    ms, kfs = drive_frames(cfg, poses, poses, pts, bits)
+    # strip covisibility info to below the redundancy bar: drop every MP
+    # to ≤2 observers by truncating observation lists
+    n_obs = jnp.minimum(ms.mp_n_obs, 2)
+    P = ms.mp_obs_kf.shape[1]
+    keep = jax.lax.broadcasted_iota(jnp.int32, ms.mp_obs_kf.shape, 1) < 2
+    ms = ms._replace(
+        mp_n_obs=n_obs,
+        mp_obs_kf=jnp.where(keep, ms.mp_obs_kf, -1),
+        mp_obs_feat=jnp.where(keep, ms.mp_obs_feat, -1),
+    )
+    ms2, kid = localmap.prune_redundant_kf(ms, jnp.asarray(kfs[-1]))
+    assert int(kid) == -1
+    np.testing.assert_array_equal(
+        np.asarray(ms.kf_valid), np.asarray(ms2.kf_valid)
+    )
+
+
+def test_ba_works_after_prune(rng):
+    cfg, ms, kfs = dense_map(rng)
+    ms2, kid = localmap.prune_redundant_kf(ms, jnp.asarray(kfs[-1]))
+    assert int(kid) >= 0
+    ms3, info = localmap.run_local_ba(ms2, jnp.asarray(kfs[-1]), cfg)
+    assert np.isfinite(float(info["chi2"]))
+    assert np.isfinite(np.asarray(ms3.kf_pose)).all()
