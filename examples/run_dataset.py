@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Offline SLAM demo driver — the test_vn equivalent (test/test_vn.cpp).
+
+Runs full SLAM over a DatasetRoom-format directory (image/<i>.bmp +
+odo_raw.txt) or, with --synthetic, over the built-in synthetic rover
+world. Writes the keyframe trajectory in the reference txt format, a map
+checkpoint, and visualization dumps.
+
+Usage:
+    python examples/run_dataset.py <dataset_dir> [--cam CamConfig.yml]
+        [--settings Settings.yml] [--out outdir] [--frames N]
+    python examples/run_dataset.py --synthetic [--frames N] [--out outdir]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def synthetic_cfg(n_features=500, n_levels=3):
+    from se2lam_tpu.config import Capacity, SystemConfig
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    Tcb = np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]], float
+    )
+    oc = OrbConfig(height=480, width=640, n_features=n_features,
+                   scale_factor=1.2, n_levels=n_levels)
+    return SystemConfig(
+        width=640, height=480, fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+        Tbc=tuple(np.linalg.inv(Tcb).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=n_features, max_level=n_levels,
+        min_frames_between_kf=3, max_frames_between_kf=15,
+        cap=Capacity(n_features=oc.n_slots),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", nargs="?", help="DatasetRoom-format directory")
+    ap.add_argument("--cam", default=None, help="CamConfig.yml path")
+    ap.add_argument("--settings", default=None, help="Settings.yml path")
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--out", default="./slam_out")
+    ap.add_argument("--no-loops", action="store_true")
+    args = ap.parse_args()
+
+    from se2lam_tpu.io import SyntheticWorld, ate_se2, save_map
+    from se2lam_tpu.system import SlamSystem
+    from se2lam_tpu import viz
+
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        cfg = synthetic_cfg()
+        world = SyntheticWorld(cfg, n_landmarks=800, room=12.0, seed=1)
+        feed = world.sequence(args.frames, noise=(0.003, 0.002, 0.001))
+    else:
+        if not args.dataset:
+            ap.error("dataset directory or --synthetic required")
+        from se2lam_tpu.config import SystemConfig
+        from se2lam_tpu.io import DatasetRoom
+
+        cam = args.cam or os.path.join(args.dataset, "..", "CamConfig.yml")
+        st = args.settings or os.path.join(args.dataset, "..", "Settings.yml")
+        if os.path.exists(cam) and os.path.exists(st):
+            cfg = SystemConfig.from_yaml(cam, st)
+        else:
+            print("warning: config YAMLs not found, using defaults")
+            cfg = synthetic_cfg()
+        feed = iter(DatasetRoom(args.dataset, count=args.frames))
+
+    slam = SlamSystem(cfg, enable_loops=not args.no_loops)
+    t0 = time.perf_counter()
+    n = 0
+    for img, odo in feed:
+        slam.process(img, odo)
+        n += 1
+        if n % 50 == 0:
+            print(f"frame {n}: pose={slam.current_pose()} "
+                  f"kfs={slam.n_keyframes()} mps={slam.n_map_points()}")
+    dt = time.perf_counter() - t0
+    print(f"\n{n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
+    print(f"keyframes={slam.n_keyframes()} map_points={slam.n_map_points()}")
+    if slam._loop_closer is not None:
+        print(f"loops_closed={slam._loop_closer.n_loops_closed}")
+
+    traj_path = os.path.join(args.out, "se2lam_kf_trajectory.txt")
+    slam.save_kf_trajectory(traj_path)
+    print(f"wrote {traj_path}")
+
+    vocab = slam._loop_closer.vocab if slam._loop_closer else None
+    if vocab is None and slam.n_keyframes() >= 2:
+        # train one now so the saved map supports relocalization
+        from se2lam_tpu.vocab import train_vocab
+
+        desc = slam.ms.kf_desc.reshape(-1, 256)
+        valid = (slam.ms.kf_feat_valid & slam.ms.kf_valid[:, None]).reshape(-1)
+        vocab = train_vocab(desc, valid, n_words=512, iters=5)
+    save_map(os.path.join(args.out, "map"), slam.ms, vocab)
+    print(f"wrote {os.path.join(args.out, 'map')}")
+
+    est = np.asarray([p for _, p in slam.trajectory])
+    named = {"slam": est[:, :2]}
+    if args.synthetic:
+        gt = world.gt[: len(est)]
+        named["ground truth"] = gt[:, :2]
+        rmse, _ = ate_se2(est[:, :2], gt[:, :2])
+        print(f"ATE (SE2-aligned RMSE): {rmse:.4f} m")
+    viz.plot_trajectories(os.path.join(args.out, "trajectory.png"), named)
+    viz.plot_map(os.path.join(args.out, "map.png"), slam.ms)
+    print(f"wrote {args.out}/trajectory.png, {args.out}/map.png")
+
+
+if __name__ == "__main__":
+    main()

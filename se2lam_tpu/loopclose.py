@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import vocab as vocab_mod
 from .config import SystemConfig
@@ -332,8 +333,46 @@ class LoopCloser:
         self.bank = v
         return True
 
+    def _maybe_feat_edge(self, ms: MapState, k: int) -> MapState:
+        """Sparsified feature edge between the new KF and a covisible but
+        chain-distant partner (Map::SelectKFPairFeat/UpdateFeatGraph,
+        src/Map.cpp:826-889: covisible pairs >5 hops apart in the
+        odometry/feature graph get a single marginalized constraint)."""
+        covis_row = np.asarray(ms.covis[k])
+        ftr_i = np.asarray(ms.ftr_i)
+        ftr_j = np.asarray(ms.ftr_j)
+        ftr_valid = np.asarray(ms.ftr_valid)
+        cands = [
+            j
+            for j in np.nonzero(covis_row)[0]
+            if abs(int(j) - k) > 5
+            and not np.any(
+                ftr_valid
+                & (
+                    ((ftr_i == j) & (ftr_j == k))
+                    | ((ftr_i == k) & (ftr_j == j))
+                )
+            )
+        ]
+        if not cands:
+            return ms
+        cand = int(cands[0])
+        self.key, sub = jax.random.split(self.key)
+        midx, n_kp, n_mp, _ = verify_loop(
+            ms, k, cand, sub, n_trials=self.cfg.cap.ransac_trials
+        )
+        if int(n_mp) < 10:
+            return ms
+        meas, info, n_good, _ = build_loop_constraint(
+            ms, k, cand, midx, self.cfg
+        )
+        if int(n_good) < 10:
+            return ms
+        return add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
+
     def on_new_kf(self, ms: MapState, k) -> MapState:
         k = int(k)
+        ms = self._maybe_feat_edge(ms, k)
         if not self._ensure_vocab(ms):
             return ms
         v, _ = vocab_mod.bow_transform(
