@@ -102,24 +102,136 @@ def _blur7(img):
     return out[0, 0]
 
 
-def _moment_kernels():
-    """31x31 disc-masked first-moment kernels for IC_Angle
-    (src/ORBextractor.cpp:130-157 computes m01/m10 over a radius-15 disc)."""
-    r = HALF_PATCH
-    ys, xs = np.mgrid[-r : r + 1, -r : r + 1].astype(np.float32)
-    mask = (xs * xs + ys * ys <= r * r).astype(np.float32)
-    return np.stack([xs * mask, ys * mask])[:, None]  # (2,1,31,31)
-
-
-_MOMENTS = _moment_kernels()
+# per-row half-width of the radius-15 disc (the umax table the reference
+# builds at src/ORBextractor.cpp:476-492)
+_DISC_U = [
+    int(math.floor(math.sqrt(HALF_PATCH * HALF_PATCH - dy * dy)))
+    for dy in range(-HALF_PATCH, HALF_PATCH + 1)
+]
 
 
 def _orientation_maps(img):
-    """(2, H, W): m10 and m01 maps via convolution."""
-    out = jax.lax.conv_general_dilated(
-        img[None, None], jnp.asarray(_MOMENTS), (1, 1), "SAME"
+    """(2, H, W): disc-masked first moments m10/m01 for IC_Angle
+    (src/ORBextractor.cpp:130-157).
+
+    A naive 31x31 single-channel convolution lowers to ~961 shifted
+    multiply-adds on the VPU (~50 ms/frame on TPU). Instead: row prefix
+    sums once, then per disc row a windowed sum is two STATIC shifted
+    slices — ~60 cheap vector ops total, numerically identical to the
+    masked convolution. Values within EDGE border may be garbage; the
+    extractor never reads them (EDGE_THRESHOLD=16 > patch radius 15).
+    """
+    H, W = img.shape
+    R = HALF_PATCH
+    dtype = img.dtype
+    x = jnp.arange(W, dtype=dtype)
+
+    zrow = jnp.zeros((H, 1), dtype)
+    Z = jnp.concatenate([zrow, jnp.cumsum(img, axis=1)], axis=1)
+    Zx = jnp.concatenate(
+        [zrow, jnp.cumsum(img * x[None, :], axis=1)], axis=1
     )
-    return out[0]
+    # pad: rows by R for vertical shifts, cols by R+1 so every window
+    # slice is static
+    P = R + 1
+    Zp = jnp.pad(Z, ((R, R), (P, P)))
+    Zxp = jnp.pad(Zx, ((R, R), (P, P)))
+
+    m10 = jnp.zeros((H, W), dtype)
+    m01 = jnp.zeros((H, W), dtype)
+    for i, dy in enumerate(range(-R, R + 1)):
+        u = _DISC_U[i]
+        r0 = R + dy
+        rZ = Zp[r0 : r0 + H]
+        rZx = Zxp[r0 : r0 + H]
+        # windowed sum over columns [x-u, x+u]: prefix[x+u+1] - prefix[x-u]
+        hi = P + u + 1
+        lo = P - u
+        rs = rZ[:, hi : hi + W] - rZ[:, lo : lo + W]
+        rxs = rZx[:, hi : hi + W] - rZx[:, lo : lo + W]
+        m01 = m01 + dy * rs
+        m10 = m10 + (rxs - x[None, :] * rs)
+    return jnp.stack([m10, m01])
+
+
+# ---------------------------------------------------------------------------
+# Steered BRIEF as matmuls
+# ---------------------------------------------------------------------------
+#
+# The natural formulation — gather 512 rotated pattern samples per keypoint
+# from the blurred image — is a (Q, 512) random gather, which TPUs execute
+# serially (~10 ms/frame). Instead:
+#   1. extract a (Q, S, S) patch per keypoint with two one-hot matmuls
+#      (row-select then column-select — MXU work, no gather);
+#   2. quantize the orientation to 32 bins (the classic ORB 360/32≈11°
+#      stepping; keypoint coords are integers, so rounded rotated offsets
+#      per bin are exactly the per-keypoint rounded offsets);
+#   3. per bin the 256 comparisons are one constant ±1 matrix over the
+#      flattened patch: bits = (patch · W_bin) > 0 with +1 at the q
+#      sample and −1 at the p sample — evaluated for ALL bins in one
+#      (Q, S²) x (S², 32·256) matmul, then the keypoint's bin is selected.
+
+N_ANGLE_BINS = 32
+PATCH_R = 19          # covers the rotated pattern radius (13·√2 ≈ 18.4)
+PATCH_S = 2 * PATCH_R + 1
+
+
+def _pattern_bank():
+    """(S², B·256) ±1 weights: column (b·256+j) compares pattern pair j
+    under bin-b rotation."""
+    B, S, R = N_ANGLE_BINS, PATCH_S, PATCH_R
+    W = np.zeros((S * S, B, N_BITS), np.float32)
+    px = np.asarray(PATTERN_X, np.float64)
+    py = np.asarray(PATTERN_Y, np.float64)
+    for b in range(B):
+        th = 2.0 * np.pi * b / B
+        c, s = np.cos(th), np.sin(th)
+        rx = np.round(px * c - py * s).astype(np.int64) + R
+        ry = np.round(px * s + py * c).astype(np.int64) + R
+        rx = np.clip(rx, 0, S - 1)
+        ry = np.clip(ry, 0, S - 1)
+        flat = ry * S + rx
+        for j in range(N_BITS):
+            W[flat[2 * j], b, j] += -1.0      # p sample
+            W[flat[2 * j + 1], b, j] += 1.0   # q sample
+    return W.reshape(S * S, B * N_BITS)
+
+
+_PATTERN_BANK = _pattern_bank()
+
+
+def _extract_patches(img, ys, xs):
+    """(Q, S, S) patches at integer centers via two one-hot matmuls."""
+    H, W = img.shape
+    S, R = PATCH_S, PATCH_R
+    dy = jnp.arange(-R, R + 1)
+    rows = jnp.clip(ys[:, None] + dy[None, :], 0, H - 1)      # (Q, S)
+    cols = jnp.clip(xs[:, None] + dy[None, :], 0, W - 1)      # (Q, S)
+    row_sel = (
+        rows[:, :, None] == jnp.arange(H)[None, None, :]
+    ).astype(img.dtype)                                        # (Q, S, H)
+    strip = jnp.einsum("qsh,hw->qsw", row_sel, img)            # (Q, S, W)
+    col_sel = (
+        cols[:, :, None] == jnp.arange(W)[None, None, :]
+    ).astype(img.dtype)                                        # (Q, S, W)
+    return jnp.einsum("qsw,qtw->qst", strip, col_sel)          # (Q, S, S)
+
+
+def _brief_bits(blur, ys, xs, angle):
+    """(Q, 256) {0,1} steered BRIEF via the pattern bank."""
+    Q = ys.shape[0]
+    patches = _extract_patches(blur, ys, xs).reshape(Q, PATCH_S * PATCH_S)
+    bank = jnp.asarray(_PATTERN_BANK, jnp.bfloat16)
+    resp = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16),
+        bank,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(Q, N_ANGLE_BINS, N_BITS)
+    binf = angle / (2.0 * jnp.pi) * N_ANGLE_BINS
+    bin_idx = jnp.round(binf).astype(jnp.int32) % N_ANGLE_BINS
+    sel = jnp.take_along_axis(resp, bin_idx[:, None, None], axis=1)[:, 0]
+    return (sel > 0).astype(jnp.uint8)
 
 
 def pack_bits(bits):
@@ -239,23 +351,10 @@ def make_extractor(cfg: OrbConfig):
             m01 = moments[1][ys, xs]
             angle = jnp.arctan2(m01, m10)
 
-            # steered BRIEF on the blurred level image
+            # steered BRIEF on the blurred level image (matmul
+            # formulation — see _brief_bits)
             blur = _blur7(level_img)
-            c, s = jnp.cos(angle), jnp.sin(angle)
-            px = jnp.asarray(PATTERN_X)[None]  # (1, 512)
-            py = jnp.asarray(PATTERN_Y)[None]
-            sx = jnp.round(
-                xs[:, None].astype(jnp.float32) + px * c[:, None] - py * s[:, None]
-            ).astype(jnp.int32)
-            sy = jnp.round(
-                ys[:, None].astype(jnp.float32) + px * s[:, None] + py * c[:, None]
-            ).astype(jnp.int32)
-            sx = jnp.clip(sx, 0, W - 1)
-            sy = jnp.clip(sy, 0, H - 1)
-            samples = blur[sy, sx]  # (quota, 512)
-            p_vals = samples[:, 0::2]
-            q_vals = samples[:, 1::2]
-            bits = (p_vals < q_vals).astype(jnp.uint8)  # (quota, 256)
+            bits = _brief_bits(blur, ys, xs, angle)  # (quota, 256)
 
             scale = cfg.scales[l]
             outs.append(

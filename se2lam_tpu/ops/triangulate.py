@@ -31,15 +31,39 @@ def triangulate(pt1, pt2, P1, P2):
         pt2[..., 1, None] * P2[..., 2, :] - P2[..., 1, :],
     ]
     A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    AtA = jnp.swapaxes(A, -1, -2) @ A
-    # eigh returns ascending eigenvalues: null vector = first column
-    _, vecs = jnp.linalg.eigh(AtA)
-    x = vecs[..., :, 0]
-    w = x[..., 3]
-    # Guard w≈0 (point at infinity) — produces a huge-depth point that the
-    # caller's depth gate rejects, same net effect as the reference.
-    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    return x[..., :3] / w[..., None]
+    # Inhomogeneous DLT (w := 1): solve B·x ≈ -c in least squares with
+    # B = A[:, :3], c = A[:, 3], via 3x3 normal equations and a
+    # closed-form adjugate inverse. The reference's homogeneous 4x4 SVD
+    # (cvu::triangulate, src/cvutil.cpp:46-84) differs only for points
+    # at infinity, which the callers' depth gates reject anyway — and a
+    # batched 4x4 eigendecomposition is an iterative (slow) op on TPU
+    # while this is pure fused vector math.
+    B = A[..., :3]
+    c = A[..., 3]
+    M = jnp.swapaxes(B, -1, -2) @ B                 # (..., 3, 3)
+    rhs = -jnp.einsum("...ij,...i->...j", B, c)     # (..., 3)
+
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    # Degenerate (zero-parallax) systems get a tiny det → huge-depth
+    # point, rejected by the depth gate (same net effect as w≈0 guard).
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    x = jnp.stack(
+        [
+            c00 * rhs[..., 0] + c01 * rhs[..., 1] + c02 * rhs[..., 2],
+            c01 * rhs[..., 0] + c11 * rhs[..., 1] + c12 * rhs[..., 2],
+            c02 * rhs[..., 0] + c12 * rhs[..., 1] + c22 * rhs[..., 2],
+        ],
+        axis=-1,
+    )
+    return x * inv_det[..., None]
 
 
 def parallax_cos(o1, o2, pt3):
