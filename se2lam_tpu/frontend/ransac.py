@@ -41,6 +41,30 @@ def _normalize(pts, valid):
     return (pts - mean) * scale, T
 
 
+def _min_eigvec(M, iters: int = 3):
+    """Smallest eigenvector of a symmetric PSD matrix via inverse
+    iteration: v ← (M + εI)⁻¹ v, renormalized.
+
+    Batched eigh/svd of tiny matrices lower to slow iterative programs
+    on TPU; a batched LU inverse is direct, and 2-3 applications give
+    machine-precision convergence whenever the smallest eigenvalue is
+    separated (degenerate RANSAC samples lose the Sampson vote anyway).
+    The shift ε is scaled to the matrix magnitude to keep the solve
+    well-posed near an exact nullspace.
+    """
+    n = M.shape[-1]
+    scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / n
+    Minv = jnp.linalg.inv(
+        M + 1e-9 * scale * jnp.eye(n, dtype=M.dtype)
+        + 1e-30 * jnp.eye(n, dtype=M.dtype)
+    )
+    v = jnp.full(M.shape[:-2] + (n,), 1.0, M.dtype).at[..., 0].add(0.5)
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", Minv, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def _eight_point(p1, p2):
     """(8,2),(8,2) normalized correspondences → F (3,3), rank-2 enforced."""
     x1, y1 = p1[:, 0], p1[:, 1]
@@ -50,13 +74,17 @@ def _eight_point(p1, p2):
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (8, 9)
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[:, 0]
+    f = _min_eigvec(AtA)
     F = f.reshape(3, 3)
-    # rank-2 projection
-    U, S, Vt = jnp.linalg.svd(F)
-    S = S.at[2].set(0.0)
-    return (U * S[None, :]) @ Vt
+    # rank-2 projection: F ← F − u3 (u3ᵀ F v3) v3ᵀ with v3/u3 the smallest
+    # right/left singular directions (power iteration again — for an
+    # already rank-2 F the correction magnitude σ3 is ~0, so u3 direction
+    # noise is harmless)
+    v3 = _min_eigvec(F.T @ F, iters=20)
+    u3_raw = F @ v3
+    u3 = u3_raw / jnp.maximum(jnp.linalg.norm(u3_raw), 1e-12)
+    s3 = u3 @ F @ v3
+    return F - s3 * jnp.outer(u3, v3)
 
 
 def _sampson(F, p1, p2):
