@@ -45,7 +45,8 @@ class OrbConfig(NamedTuple):
     fast_low: float = 7.0     # fallback threshold (src/ORBextractor.cpp:621)
     min_high_corners: int = 3  # "<=3 → retry at low th"
     edge: int = 16            # EDGE_THRESHOLD border exclusion
-    features_per_cell: int = 5
+    features_per_cell: int = 3  # grid density (reference uses ~5/cell; a
+    #                             finer grid pairs with per-cell argmax)
 
     @property
     def scales(self):
@@ -288,26 +289,35 @@ def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
     cells = jnp.where(use_high, cells_high, cells_low)
 
     n_cells = ncy * ncx
-    per_cell_quota = -(-quota // n_cells)
-    k_cell = min(ch * cw, max(4 * per_cell_quota, 8))
+    # Per-cell candidates via repeated masked argmax (max-reductions are
+    # VPU-native; a per-cell top_k would sort every cell's pixels). The
+    # reference's surplus-redistribution loop (src/ORBextractor.cpp:653-679)
+    # becomes a two-phase priority: each cell's best candidate outranks
+    # every cell's k-th candidate, and the global top-k fills the quota.
+    k_cell = max(2, min(6, -(-2 * quota // n_cells)))
+    cands_s, cands_i = [], []
+    cur = cells
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+    for r in range(k_cell):
+        idx = jnp.argmax(cur, axis=1)                     # (n_cells,)
+        sc = jnp.take_along_axis(cur, idx[:, None], axis=1)[:, 0]
+        cands_s.append(sc)
+        cands_i.append(idx)
+        if r + 1 < k_cell:
+            cur = jnp.where(col_iota == idx[:, None], -jnp.inf, cur)
 
-    top_scores, top_idx = jax.lax.top_k(cells, k_cell)  # (n_cells, k_cell)
-
-    # two-phase priority: in-quota picks dominate, surplus refills globally
-    # (replaces the iterative redistribution at src/ORBextractor.cpp:653-679)
-    in_quota = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_cells, k_cell), 1)
-        < per_cell_quota
-    )
+    top_scores = jnp.stack(cands_s, axis=1)               # (n_cells, k)
+    top_idx = jnp.stack(cands_i, axis=1)
+    rank = jax.lax.broadcasted_iota(jnp.int32, top_scores.shape, 1)
     nonzero = top_scores > 0.0
     priority = jnp.where(nonzero, top_scores, -jnp.inf) + jnp.where(
-        in_quota & nonzero, 1e9, 0.0
+        nonzero, (k_cell - rank).astype(top_scores.dtype) * 1e9, 0.0
     )
 
     flat_priority = priority.reshape(-1)
     flat_scores = top_scores.reshape(-1)
     cell_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (n_cells, k_cell), 0
+        jnp.int32, top_scores.shape, 0
     ).reshape(-1)
     flat_idx = top_idx.reshape(-1)
 

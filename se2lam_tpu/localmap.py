@@ -42,6 +42,8 @@ __all__ = [
     "local_graph_masks",
     "build_local_ba",
     "run_local_ba",
+    "remove_outlier_obs",
+    "prune_redundant_kf",
     "kf_track_seed",
 ]
 
@@ -629,6 +631,68 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
         edge_valid=e_valid,
     )
     return LocalWindow(prob, win_kf, win_mp, kf_sel, mp_sel)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def remove_outlier_obs(ms: MapState, cur_kf, cfg: SystemConfig):
+    """Demote local-window observations with reprojection chi2 above the
+    gate, and kill map points left with <2 observations.
+
+    Re-derivation of LocalMapper::removeOutlierChi2 + Map::
+    removeLocalOutlierMP (src/LocalMapper.cpp:172-230, src/Map.cpp:700-752).
+    NOTE: the reference ships this but comments it out of the run loop
+    (src/LocalMapper.cpp:329); it is provided here with the same status —
+    available, not wired into the default pipeline.
+    """
+    K, M, N = ms.K, ms.M, ms.N
+    P = ms.mp_obs_kf.shape[1]
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+
+    local_kfs, _, _ = local_graph_masks(ms, cur_kf)
+
+    # chi2 of every (KF, feature) observation (unweighted pixel chi2, the
+    # reference uses the edge chi2 against th_huber2)
+    m = ms.kf_obs_mp                                  # (K, N)
+    has = (m >= 0) & local_kfs[:, None]
+    pts = ms.mp_pos[jnp.clip(m, 0)]                   # (K, N, 3)
+    poses = jnp.broadcast_to(ms.kf_pose[:, None, :], (K, N, 3))
+    r = jax.vmap(
+        jax.vmap(
+            lambda p, x, u: factors.se2xyz_residual(p, x, u, cam, Tcb)
+        )
+    )(poses, pts, ms.kf_xy)
+    chi2 = jnp.sum(r * r, axis=-1)
+    bad = has & (chi2 > cfg.th_huber2)
+
+    new_obs = jnp.where(bad, -1, ms.kf_obs_mp)
+    ms = ms._replace(kf_obs_mp=new_obs)
+
+    # rebuild the inverse observation lists for affected MPs: compact
+    # mp_obs entries whose forward pointer no longer matches
+    fwd_ok = (
+        new_obs[jnp.clip(ms.mp_obs_kf, 0), jnp.clip(ms.mp_obs_feat, 0)]
+        == jnp.arange(M)[:, None]
+    ) & (ms.mp_obs_kf >= 0)
+    order = jnp.argsort(
+        jnp.where(fwd_ok, 0, 1) * P
+        + jax.lax.broadcasted_iota(jnp.int32, (M, P), 1),
+        axis=1,
+    )
+    obs_kf = jnp.take_along_axis(
+        jnp.where(fwd_ok, ms.mp_obs_kf, -1), order, axis=1
+    )
+    obs_ft = jnp.take_along_axis(
+        jnp.where(fwd_ok, ms.mp_obs_feat, -1), order, axis=1
+    )
+    n_obs = jnp.sum(obs_kf >= 0, axis=1).astype(jnp.int32)
+    return ms._replace(
+        mp_obs_kf=obs_kf,
+        mp_obs_feat=obs_ft,
+        mp_n_obs=n_obs,
+        mp_valid=ms.mp_valid & (n_obs >= 2),
+    ), jnp.sum(bad.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

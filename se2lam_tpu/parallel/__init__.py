@@ -7,4 +7,7 @@ with XLA inserting the collectives (psum of Schur-reduced systems,
 all-gather argmax for loop scores) from sharding annotations.
 """
 from .dist_ba import shard_ba_problem, sharded_solve_local_ba  # noqa: F401
+from .dist_loop import (  # noqa: F401
+    shard_bank, sharded_bow_detect, sharded_hamming_detect,
+)
 from .mesh import make_mesh  # noqa: F401
