@@ -92,15 +92,23 @@ def _gauss_kernel7(sigma=2.0):
     return k / k.sum()
 
 
+_GAUSS7 = _gauss_kernel7()
+
+
 def _blur7(img):
-    """Separable 7x7 Gaussian, sigma 2 (src/ORBextractor.cpp:769)."""
-    k = jnp.asarray(_gauss_kernel7())
-    img4 = img[None, None]  # NCHW
-    kh = k.reshape(1, 1, 1, 7)
-    kv = k.reshape(1, 1, 7, 1)
-    out = jax.lax.conv_general_dilated(img4, kh, (1, 1), "SAME")
-    out = jax.lax.conv_general_dilated(out, kv, (1, 1), "SAME")
-    return out[0, 0]
+    """Separable 7x7 Gaussian, sigma 2 (src/ORBextractor.cpp:769).
+
+    Written as 14 static shifted multiply-adds: XLA lowers single-channel
+    spatial convolutions to a pathological tiled form on TPU (~3 ms/frame
+    across the pyramid for two 7-tap passes), while shifted slices fuse
+    into a handful of VPU ops.
+    """
+    H, W = img.shape
+    k = _GAUSS7
+    ph = jnp.pad(img, ((0, 0), (3, 3)))
+    h = sum(float(k[i]) * ph[:, i : i + W] for i in range(7))
+    pv = jnp.pad(h, ((3, 3), (0, 0)))
+    return sum(float(k[i]) * pv[i : i + H] for i in range(7))
 
 
 # per-row half-width of the radius-15 disc (the umax table the reference
