@@ -106,6 +106,11 @@ def match_by_window(
     positions (reference MatchByWindow, src/ORBmatcher.cpp:278-381).
 
     prev_xy: (N1, 2) predicted positions in frame 2 (level-0 px).
+
+    At per-frame scale (N≈1000) the dense formulation below is fastest:
+    one MXU matmul + fused masks. For matching against banks too large to
+    materialize N1×N2 in HBM, use the streaming Pallas kernel
+    (frontend.pallas_match.windowed_top2 — same gate semantics).
     """
     D = hamming_matrix(f1.desc_pm1, f2.desc_pm1)
     dx = jnp.abs(f2.xy[None, :, 0] - prev_xy[:, None, 0])

@@ -32,7 +32,7 @@ from .config import SystemConfig
 from .frontend.matcher import match_by_projection
 from .frontend.orb import OrbFeatures
 from .mapstate import MapState, kf_Tcw
-from .ops import se2, se3
+from .ops import linalg, se2, se3
 from .ops.camera import CameraModel
 from .solver.ba import BAConfig, BAProblem, solve_local_ba
 
@@ -561,28 +561,35 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
     poses = ms.kf_pose[win_kf]
     points = ms.mp_pos[win_mp]
 
-    # --- observations: all (window KF, feature) pairs ---
+    # --- observations: all (window KF, feature) pairs, compacted to the
+    #     fixed budget cap.local_obs (top_k keeps valid entries first in
+    #     deterministic order) — every downstream per-observation op then
+    #     costs O instead of W·N ---
     obs_mp_raw = ms.kf_obs_mp[win_kf]                      # (W, N)
     obs_mpw = mp2win[jnp.clip(obs_mp_raw, 0)]              # (W, N) window idx
-    obs_valid = (
+    struct_valid = (
         kf_sel[:, None]
         & (obs_mp_raw >= 0)
         & (obs_mpw >= 0)
         & ms.kf_feat_valid[win_kf]
-    )
+    ).reshape(-1)
+    O = min(cfg.cap.local_obs, W * N)
+    _, sel = jax.lax.top_k(struct_valid.astype(jnp.float32), O)
+    obs_valid = struct_valid[sel]
+
     obs_kf_idx = jnp.broadcast_to(
         jnp.arange(W, dtype=jnp.int32)[:, None], (W, N)
-    ).reshape(-1)
-    obs_mp_idx = jnp.clip(obs_mpw, 0).reshape(-1)
-    obs_uv = ms.kf_xy[win_kf].reshape(-1, 2)
-    obs_valid = obs_valid.reshape(-1)
+    ).reshape(-1)[sel]
+    obs_mp_idx = jnp.clip(obs_mpw, 0).reshape(-1)[sel]
+    obs_uv = ms.kf_xy[win_kf].reshape(-1, 2)[sel]
+    octave_o = ms.kf_octave[win_kf].reshape(-1)[sel]
 
     # marginalized plane-motion measurement info (src/Map.cpp:1024-1049)
     p_o = poses[obs_kf_idx]
     x_o = points[obs_mp_idx]
-    Tcw_o = jax.vmap(lambda p: kf_Tcw(p, Tcb))(p_o)
+    Tcw_w = jax.vmap(lambda p: kf_Tcw(p, Tcb))(poses)      # (W, 4, 4)
+    Tcw_o = Tcw_w[obs_kf_idx]
     lc_o = jax.vmap(se3.apply)(Tcw_o, x_o)
-    octave_o = ms.kf_octave[win_kf].reshape(-1)
     sigma2_uv = jnp.asarray(cfg.level_sigma2, dtype)[
         jnp.clip(octave_o, 0, cfg.max_level - 1)
     ]
@@ -598,7 +605,7 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
     Sigma = jnp.where(
         safe[:, None, None], Sigma, jnp.eye(2, dtype=dtype)[None]
     )
-    obs_info = jnp.linalg.inv(Sigma)
+    obs_info = linalg.inv2x2(Sigma)
     obs_valid = safe
 
     # --- odometry edges along the preintegration chain ---
@@ -611,7 +618,7 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
         cov + 1e-10 * jnp.eye(3, dtype=dtype)[None],
         jnp.eye(3, dtype=dtype)[None],
     )
-    edge_info = jnp.linalg.inv(cov_safe)
+    edge_info = linalg.inv3x3(cov_safe)
 
     prob = BAProblem(
         poses=poses,

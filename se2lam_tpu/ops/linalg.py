@@ -1,0 +1,50 @@
+"""Closed-form small-matrix linear algebra.
+
+``jnp.linalg.inv`` on batches of tiny matrices lowers to batched LU on
+TPU — workable but far slower than the explicit adjugate formulas, which
+fuse into a handful of VPU ops. Used throughout the solvers (2x2
+observation information, 3x3 point blocks / preintegration covariances).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["inv2x2", "inv3x3"]
+
+
+def inv2x2(M, eps: float = 1e-30):
+    """Batched (…, 2, 2) inverse via the adjugate."""
+    a, b = M[..., 0, 0], M[..., 0, 1]
+    c, d = M[..., 1, 0], M[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    row0 = jnp.stack([d, -b], axis=-1)
+    row1 = jnp.stack([-c, a], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+
+
+def inv3x3(M, eps: float = 1e-30):
+    """Batched (…, 3, 3) inverse via the adjugate (cofactor) formula."""
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m10, m11, m12 = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    m20, m21, m22 = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m21
+    c01 = m02 * m21 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c10 = m12 * m20 - m10 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m02 * m10 - m00 * m12
+    c20 = m10 * m21 - m11 * m20
+    c21 = m01 * m20 - m00 * m21
+    c22 = m00 * m11 - m01 * m10
+    det = m00 * c00 + m01 * c10 + m02 * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < eps, eps, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import factors
+from ..ops import linalg
 from ..ops.camera import CameraModel
 
 __all__ = ["BAProblem", "BAConfig", "solve_local_ba", "ba_chi2"]
@@ -194,7 +195,7 @@ def _solve_inner(prob, cam, Tcb, cfg, lam):
         Hxx + cfg.eps * eyeK[None],
         eyeK[None],
     )
-    Hxx_inv = jnp.linalg.inv(Hxx_safe)
+    Hxx_inv = linalg.inv3x3(Hxx_safe)
 
     # Schur: S = Hpp − Hpx Hxx⁻¹ Hpxᵀ ; contraction over (M, 3) on the MXU
     T = jnp.einsum("kmab,mbc->kmac", Hpx, Hxx_inv)          # (K,M,3,3)
