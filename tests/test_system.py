@@ -70,6 +70,41 @@ def test_ate_bounded(run_result):
     assert rmse < 0.5, f"ATE {rmse}"
 
 
+def test_loop_closes_on_revisit():
+    """Second lap over the same circle must fire the loop closer on the
+    real rendered-image path (BoW detect → RANSAC verify → global BA)."""
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    cfg0 = small_cfg(256)
+    oc = OrbConfig(
+        height=cfg0.height, width=cfg0.width, n_features=256,
+        scale_factor=cfg0.scale_factor, n_levels=cfg0.max_level,
+    )
+    cfg = cfg0.replace(
+        gm_dcl_min_kfid_offset=10,
+        gm_vcl_num_min_match_mp=10,
+        gm_vcl_num_min_match_kp=15,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=64, max_mps=4096,
+            local_kfs=8, local_ref_kfs=8, local_mps=512, ransac_trials=64,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=600, room=10.0, seed=4)
+    slam = SlamSystem(cfg, enable_loops=True)
+    gt = world.circle_trajectory(90)
+    gt2 = np.concatenate([gt, gt[:30]])          # 1⅓ laps
+    odo = world.odometry(gt2, noise=(0.004, 0.002, 0.002), seed=3)
+    for i in range(len(gt2)):
+        slam.process(world.render(gt2[i]), odo[i])
+    assert slam._loop_closer.n_loops_closed >= 1
+    est = np.asarray([p for _, p in slam.trajectory])
+    from se2lam_tpu.io import ate_se2
+
+    rmse, _ = ate_se2(est[:, :2], gt2[: len(est), :2])
+    assert rmse < 0.5
+    assert np.isfinite(np.asarray(slam.ms.kf_pose)).all()
+
+
 def test_kf_trajectory_format(run_result, tmp_path):
     slam, world, n = run_result
     path = tmp_path / "kf_traj.txt"
