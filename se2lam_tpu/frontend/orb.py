@@ -318,8 +318,14 @@ def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
     top_idx = jnp.stack(cands_i, axis=1)
     rank = jax.lax.broadcasted_iota(jnp.int32, top_scores.shape, 1)
     nonzero = top_scores > 0.0
-    priority = jnp.where(nonzero, top_scores, -jnp.inf) + jnp.where(
-        nonzero, (k_cell - rank).astype(top_scores.dtype) * 1e9, 0.0
+    # rank-major priority with the score as tie-breaker WITHIN a tier.
+    # The tier stride must keep the score's f32 mantissa: FAST scores are
+    # bounded by 16·255 ≈ 4e3, so tier·8192 + clipped score stays < 2^16
+    # and f32-exact to ~1e-3 (a 1e9 stride would round the score away
+    # entirely and degrade tie-breaking to flat-index order).
+    tier = (k_cell - rank).astype(top_scores.dtype) * 8192.0
+    priority = jnp.where(
+        nonzero, tier + jnp.minimum(top_scores, 8191.0), -jnp.inf
     )
 
     flat_priority = priority.reshape(-1)

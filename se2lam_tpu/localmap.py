@@ -71,8 +71,12 @@ def insert_first_kf(ms: MapState, feats: OrbFeatures, pose, odom) -> MapState:
 
 
 def kf_track_seed(ms: MapState, k):
-    """(view_mp, obs_mask) of KF ``k`` for Track::resetLocalTrack."""
-    return ms.kf_view_mp[k], ms.kf_obs_mp[k] >= 0
+    """(view_mp, obs_mask) of KF ``k`` for Track::resetLocalTrack.
+
+    Masks by mp_valid so culled/merged points don't count as tracked."""
+    obs = ms.kf_obs_mp[k]
+    mask = (obs >= 0) & ms.mp_valid[jnp.clip(obs, 0)]
+    return ms.kf_view_mp[k], mask
 
 
 def _append_obs(ms: MapState, mp_idx, kf, feat_idx, active):
@@ -137,7 +141,6 @@ def add_keyframe(
     dtype = ms.kf_pose.dtype
     k = ms.n_kf
     ms_in = ms
-    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
     Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
     k = jnp.minimum(k, K - 1)  # clamp writes while the guard below decides
 
@@ -210,13 +213,22 @@ def add_keyframe(
     ms = _append_obs(ms, srow, ref_kf, jnp.arange(N, dtype=jnp.int32), ok)
     ms = _append_obs(ms, srow, k, j, ok)
     # wire feature → MP in the ref-KF row; back-fill its camera-frame view
-    # estimate (the reference's mViewMPs back-fill, src/MapPoint.cpp:150-170)
+    # estimate + anisotropic info (the reference's mViewMPs/mViewMPsInfo
+    # back-fill, src/MapPoint.cpp:150-170)
+    info_ref_mint, _ = factors.se3_to_xyz_info(
+        local_mps, Tcw_ref, Tcw_new, cfg.fx
+    )
     ms = ms._replace(
         kf_obs_mp=ms.kf_obs_mp.at[ref_kf].set(
             jnp.where(ok, slot, ms.kf_obs_mp[ref_kf])
         ),
         kf_view_mp=ms.kf_view_mp.at[ref_kf].set(
             jnp.where(ok[:, None], local_mps, ms.kf_view_mp[ref_kf])
+        ),
+        kf_view_info=ms.kf_view_info.at[ref_kf].set(
+            jnp.where(
+                ok[:, None, None], info_ref_mint, ms.kf_view_info[ref_kf]
+            )
         ),
     )
     # new-KF observation row: per current feature, MP from inherit or mint
@@ -231,9 +243,9 @@ def add_keyframe(
     # ---- (c) projection-match local map into the new KF
     #      (MatchByProjection + acceptNewObserve, src/LocalMapper.cpp:117-147,
     #       src/MapPoint.cpp:202-209) ----
-    already = jnp.zeros((M,), bool).at[jnp.clip(obs_row, 0)].set(
-        obs_row >= 0, mode="drop"
-    )
+    already = jnp.zeros((M,), bool).at[
+        jnp.where(obs_row >= 0, obs_row, M)
+    ].set(True, mode="drop")
     lc = se3.apply(Tcw_new, ms.mp_pos)           # (M, 3) camera frame
     z = lc[..., 2]
     u = cfg.fx * lc[..., 0] / jnp.where(z == 0, 1.0, z) + cfg.cx
@@ -243,6 +255,9 @@ def add_keyframe(
     cos_view = jnp.sum(vdir * ms.mp_normal, -1)
     cand = (
         ms.mp_valid
+        & ms.mp_good_prl        # no-parallax MPs have unreliable depth
+        #                         (reference skips !isGoodPrl(),
+        #                          src/ORBmatcher.cpp:392-394)
         & ~already
         & (z > 0)
         & (u >= 0) & (u < cfg.width) & (v >= 0) & (v < cfg.height)
@@ -258,6 +273,7 @@ def add_keyframe(
         ms.mp_desc,
         cand,
         feat_free,
+        level_offset=2,         # findCorrespd passes 2 (src/LocalMapper.cpp:118)
     )
     proj_ok = proj_match >= 0
     obs_row = jnp.where(proj_ok, proj_match, obs_row)
@@ -282,9 +298,9 @@ def add_keyframe(
 
     # ---- covisibility (>30% shared MPs, Map::updateCovisibility,
     #      src/Map.cpp:785-799) ----
-    seen_new = jnp.zeros((M,), bool).at[jnp.clip(obs_row, 0)].set(
-        has_obs, mode="drop"
-    )
+    seen_new = jnp.zeros((M,), bool).at[
+        jnp.where(has_obs, obs_row, M)
+    ].set(True, mode="drop")
     obs_all = ms.kf_obs_mp                         # (K, N)
     shared = jnp.sum(
         seen_new[jnp.clip(obs_all, 0)] & (obs_all >= 0), axis=1
@@ -316,7 +332,14 @@ def add_keyframe(
         & ~ms.mp_good_prl
         & (k - ms.mp_main_kf > 6)
     )
-    ms = ms._replace(mp_valid=ms.mp_valid & ~stale)
+    # unlink culled MPs from every keyframe's forward table so the
+    # feature slots can mint replacements (MapPoint::setNull semantics)
+    fw = ms.kf_obs_mp
+    fw_stale = (fw >= 0) & stale[jnp.clip(fw, 0)]
+    ms = ms._replace(
+        mp_valid=ms.mp_valid & ~stale,
+        kf_obs_mp=jnp.where(fw_stale, -1, fw),
+    )
     ms = ms._replace(n_kf=ms.n_kf + 1)
 
     # capacity guard: a full KF bank drops the insertion atomically rather
@@ -411,6 +434,14 @@ def prune_redundant_kf(ms: MapState, cur_kf):
     new_main_ft = jnp.where(was_main, obs_ft_new[:, 0], ms.mp_main_feat)
     alive = n_obs_new >= 2
 
+    # clear surviving keyframes' forward pointers at dead MPs
+    # (the reference's MapPoint::setNull unlinks bidirectionally,
+    # src/MapPoint.cpp; without this the dead slot blocks re-minting)
+    mp_valid_new = ms.mp_valid & alive
+    obs_fw = ms.kf_obs_mp
+    fw_ok = mp_valid_new[jnp.clip(obs_fw, 0)] | (obs_fw < 0)
+    kf_obs_clean = jnp.where(fw_ok, obs_fw, -1)
+
     pruned = MapState(
         kf_pose=ms.kf_pose,
         kf_odom=ms.kf_odom,
@@ -420,7 +451,7 @@ def prune_redundant_kf(ms: MapState, cur_kf):
         kf_angle=ms.kf_angle,
         kf_feat_valid=ms.kf_feat_valid.at[kid_c].set(False),
         kf_desc=ms.kf_desc,
-        kf_obs_mp=ms.kf_obs_mp.at[kid_c].set(
+        kf_obs_mp=kf_obs_clean.at[kid_c].set(
             jnp.full((N,), -1, jnp.int32)
         ),
         kf_view_mp=ms.kf_view_mp,
@@ -437,7 +468,7 @@ def prune_redundant_kf(ms: MapState, cur_kf):
         & (ms.ftr_i != kid_c)
         & (ms.ftr_j != kid_c),
         mp_pos=ms.mp_pos,
-        mp_valid=ms.mp_valid & alive,
+        mp_valid=mp_valid_new,
         mp_good_prl=ms.mp_good_prl,
         mp_desc=ms.mp_desc,
         mp_normal=ms.mp_normal,

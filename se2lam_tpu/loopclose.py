@@ -108,6 +108,41 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
     uv_loop = ms.kf_xy[cand]
     uv_cur = ms.kf_xy[k][j]
 
+    # anisotropic pixel information from the stored per-view 3x3 point
+    # info (the mViewMPsInfo role in the reference's OptKFPairMatch /
+    # Sparsifier measurements, src/GlobalMapper.cpp:929-1032): project
+    # the point covariance through the camera Jacobian at the stored
+    # camera-frame view, Σ_uv = J Σ₃ Jᵀ + I, and invert. Features whose
+    # info was never filled fall back to identity.
+    def _pixel_info(view, info3):
+        from .ops import linalg
+
+        has = jnp.trace(info3, axis1=-2, axis2=-1) > 1e-9
+        Sigma3 = linalg.inv3x3(
+            info3 + 1e-9 * jnp.eye(3, dtype=dtype)
+        )
+        z = jnp.maximum(view[..., 2], 1e-3)
+        zi = 1.0 / z
+        zi2 = zi * zi
+        zero = jnp.zeros_like(zi)
+        J = jnp.stack(
+            [
+                jnp.stack([cfg.fx * zi, zero, -cfg.fx * view[..., 0] * zi2], -1),
+                jnp.stack([zero, cfg.fy * zi, -cfg.fy * view[..., 1] * zi2], -1),
+            ],
+            axis=-2,
+        )
+        Sigma_uv = J @ Sigma3 @ jnp.swapaxes(J, -1, -2) + jnp.eye(
+            2, dtype=dtype
+        )
+        info2 = linalg.inv2x2(Sigma_uv)
+        return jnp.where(
+            has[..., None, None], info2, jnp.eye(2, dtype=dtype)
+        )
+
+    info_loop = _pixel_info(ms.kf_view_mp[cand], ms.kf_view_info[cand])
+    info_cur = _pixel_info(ms.kf_view_mp[k][j], ms.kf_view_info[k][j])
+
     # mini-BA: pose_loop fixed, pose_cur + points free
     poses = jnp.stack([ms.kf_pose[cand], ms.kf_pose[k]])
     prob = BAProblem(
@@ -123,7 +158,7 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
             [jnp.arange(N, dtype=jnp.int32)] * 2
         ),
         obs_uv=jnp.concatenate([uv_loop, uv_cur]),
-        obs_info=jnp.broadcast_to(jnp.eye(2, dtype=dtype), (2 * N, 2, 2)),
+        obs_info=jnp.concatenate([info_loop, info_cur]),
         obs_valid=jnp.concatenate([pair, pair]),
         edge_i=jnp.zeros((1,), jnp.int32),
         edge_j=jnp.zeros((1,), jnp.int32),

@@ -184,7 +184,10 @@ def track_frame(
     # depth-gate failures drop the match (src/Track.cpp:414-416)
     midx = jnp.where(is_new & ~depth_ok, -1, midx)
     n_tracked_old = jnp.sum(tracked_old.astype(jnp.int32))
-    n_good_prl = jnp.sum(good_prl.astype(jnp.int32))
+    # the KF gate counts THIS frame's good-parallax triangulations
+    # (reference resets mnGoodPrl every frame, src/Track.cpp:386-388);
+    # the per-feature flags stay latest-wins for minting at KF time
+    n_good_prl = jnp.sum((is_new & depth_ok & prl_ok).astype(jnp.int32))
 
     # --- 5. new-KF decision (needNewKF, src/Track.cpp:346-376) ---
     frames = ts.frames_since_kf + 1
