@@ -24,7 +24,7 @@ from ..vocab import Vocabulary
 
 __all__ = ["save_map", "load_map"]
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: adds mp_desc_votes (majority-descriptor state)
 
 
 def save_map(path: str, ms: MapState, vocab: Vocabulary | None = None,

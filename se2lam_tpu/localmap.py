@@ -199,6 +199,11 @@ def add_keyframe(
         mp_valid=ms.mp_valid.at[srow].set(True, mode="drop"),
         mp_good_prl=ms.mp_good_prl.at[srow].set(good_prl, mode="drop"),
         mp_desc=ms.mp_desc.at[srow].set(feats.desc_pm1[j], mode="drop"),
+        # bit votes start from the ref-KF observation; the blanket vote
+        # update below adds the current frame's descriptor
+        mp_desc_votes=ms.mp_desc_votes.at[srow].set(
+            ms.kf_desc[ref_kf].astype(jnp.int16), mode="drop"
+        ),
         mp_normal=ms.mp_normal.at[srow].set(normal, mode="drop"),
         mp_main_kf=ms.mp_main_kf.at[srow].set(ref_kf, mode="drop"),
         mp_main_feat=ms.mp_main_feat.at[srow].set(
@@ -294,6 +299,36 @@ def add_keyframe(
         kf_view_info=ms.kf_view_info.at[k].set(
             jnp.where(has_obs[:, None, None], info_new, 0.0)
         ),
+    )
+
+    # ---- incremental map-point maintenance for every observation this
+    #      KF adds: bit votes → majority descriptor, running-mean viewing
+    #      normal (MapPoint::addObservation + updateMainKFandDescriptor,
+    #      src/MapPoint.cpp:104-122, 228-292) ----
+    vote_rows = jnp.where(has_obs, obs_row, M)
+    votes = ms.mp_desc_votes.at[vote_rows].add(
+        feats.desc_pm1.astype(jnp.int16), mode="drop"
+    )
+    touched = jnp.zeros((M,), bool).at[vote_rows].set(True, mode="drop")
+    majority = jnp.where(votes >= 0, 1, -1).astype(jnp.int8)
+    new_desc = jnp.where(touched[:, None], majority, ms.mp_desc)
+
+    obs_dir = ms.mp_pos[jnp.clip(obs_row, 0)] - cam_center_new
+    obs_dir = obs_dir / jnp.maximum(
+        jnp.linalg.norm(obs_dir, axis=-1, keepdims=True), 1e-12
+    )
+    w_old = jnp.maximum(
+        ms.mp_n_obs[jnp.clip(obs_row, 0)].astype(dtype) - 1.0, 1.0
+    )
+    blended = (
+        ms.mp_normal[jnp.clip(obs_row, 0)] * w_old[:, None] + obs_dir
+    )
+    blended = blended / jnp.maximum(
+        jnp.linalg.norm(blended, axis=-1, keepdims=True), 1e-12
+    )
+    new_normal = ms.mp_normal.at[vote_rows].set(blended, mode="drop")
+    ms = ms._replace(
+        mp_desc_votes=votes, mp_desc=new_desc, mp_normal=new_normal
     )
 
     # ---- covisibility (>30% shared MPs, Map::updateCovisibility,
@@ -471,6 +506,7 @@ def prune_redundant_kf(ms: MapState, cur_kf):
         mp_valid=mp_valid_new,
         mp_good_prl=ms.mp_good_prl,
         mp_desc=ms.mp_desc,
+        mp_desc_votes=ms.mp_desc_votes,
         mp_normal=ms.mp_normal,
         mp_main_kf=new_main_kf,
         mp_main_feat=new_main_ft,

@@ -240,8 +240,22 @@ def merge_loop_mps(ms: MapState, k, cand, match_idx):
     good = ms.mp_good_prl.at[keep].max(
         ms.mp_good_prl[jnp.clip(dead, 0, M - 1)], mode="drop"
     )
+    # merge descriptor bit votes; survivor's majority descriptor refreshes
+    votes = ms.mp_desc_votes.at[keep].add(
+        ms.mp_desc_votes[jnp.clip(dead, 0, M - 1)], mode="drop"
+    )
+    touched = jnp.zeros((M,), bool).at[keep].set(True, mode="drop")
+    desc = jnp.where(
+        touched[:, None],
+        jnp.where(votes >= 0, 1, -1).astype(jnp.int8),
+        ms.mp_desc,
+    )
     ms = ms._replace(
-        kf_obs_mp=new_obs, mp_valid=mp_valid, mp_good_prl=good
+        kf_obs_mp=new_obs,
+        mp_valid=mp_valid,
+        mp_good_prl=good,
+        mp_desc_votes=votes,
+        mp_desc=desc,
     )
 
     # transfer the dead points' observation lists to the survivors

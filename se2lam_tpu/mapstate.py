@@ -67,6 +67,11 @@ class MapState(NamedTuple):
     mp_valid: jnp.ndarray      # (M,) bool
     mp_good_prl: jnp.ndarray   # (M,) bool — parallax gate for BA
     mp_desc: jnp.ndarray       # (M, 256) int8 ±1 main descriptor
+    mp_desc_votes: jnp.ndarray  # (M, 256) int16 running ±1 bit votes —
+    #   sign(votes) is the bitwise-majority descriptor, the minimizer of
+    #   total Hamming distance to all observations (the role of
+    #   MapPoint::updateMainKFandDescriptor's min-median selection,
+    #   src/MapPoint.cpp:228-292, in O(1) incremental form)
     mp_normal: jnp.ndarray     # (M, 3) mean viewing direction
     mp_main_kf: jnp.ndarray    # (M,) int32
     mp_main_feat: jnp.ndarray  # (M,) int32
@@ -122,6 +127,7 @@ def empty_map(cap: Capacity, dtype=jnp.float32) -> MapState:
         mp_valid=jnp.zeros((M,), bool),
         mp_good_prl=jnp.zeros((M,), bool),
         mp_desc=jnp.zeros((M, 256), jnp.int8),
+        mp_desc_votes=jnp.zeros((M, 256), jnp.int16),
         mp_normal=jnp.zeros((M, 3), dtype),
         mp_main_kf=jnp.full((M,), -1, i32),
         mp_main_feat=jnp.full((M,), -1, i32),
