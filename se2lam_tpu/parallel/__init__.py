@@ -10,4 +10,5 @@ from .dist_ba import shard_ba_problem, sharded_solve_local_ba  # noqa: F401
 from .dist_loop import (  # noqa: F401
     shard_bank, sharded_bow_detect, sharded_hamming_detect,
 )
+from .fleet import make_fleet_tracker, shard_fleet  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
