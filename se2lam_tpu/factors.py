@@ -49,6 +49,13 @@ def _camera_frame_point(pose, point_w, Tcb):
     return lc, Tcw[..., :3, :3]
 
 
+def _safe_z(z, eps: float = 1e-4):
+    """Clamp |z| away from 0 so behind-camera/degenerate points produce
+    large-but-FINITE residuals: a zero robust weight cannot mask NaN
+    (0·NaN = NaN), so the projection itself must never emit one."""
+    return jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+
+
 def se2xyz_residual(pose, point_w, uv, cam: CameraModel, Tcb):
     """Reprojection error of world point through an SE(2) body pose.
 
@@ -56,7 +63,7 @@ def se2xyz_residual(pose, point_w, uv, cam: CameraModel, Tcb):
     src/EdgeSE2XYZ.cpp:61-72).
     """
     lc, _ = _camera_frame_point(pose, point_w, Tcb)
-    z = lc[..., 2]
+    z = _safe_z(lc[..., 2])
     u = cam.fx * lc[..., 0] / z + cam.cx
     v = cam.fy * lc[..., 1] / z + cam.cy
     return jnp.stack([u, v], axis=-1) - uv
@@ -66,7 +73,7 @@ def _proj_jac_rcw(lc, Rcw, cam: CameraModel):
     """J_π · Rcw  (2x3). The reference uses fx for both rows via g2o's
     single-focal CameraParameters (src/optimizer.cpp:207-215); we use
     fx/fy properly."""
-    zinv = 1.0 / lc[..., 2]
+    zinv = 1.0 / _safe_z(lc[..., 2])
     zinv2 = zinv * zinv
     zero = jnp.zeros_like(zinv)
     J_pi = jnp.stack(
@@ -88,7 +95,7 @@ def se2xyz_residual_jac(pose, point_w, uv, cam: CameraModel, Tcb):
       J_point       = JπRcw
     """
     lc, Rcw = _camera_frame_point(pose, point_w, Tcb)
-    z = lc[..., 2]
+    z = _safe_z(lc[..., 2])
     u = cam.fx * lc[..., 0] / z + cam.cx
     v = cam.fy * lc[..., 1] / z + cam.cy
     r = jnp.stack([u, v], axis=-1) - uv

@@ -210,20 +210,34 @@ _PATTERN_BANK = _pattern_bank()
 
 
 def _extract_patches(img, ys, xs):
-    """(Q, S, S) patches at integer centers via two one-hot matmuls."""
+    """(Q, S, S) patches at integer centers via two one-hot matmuls.
+
+    Runs in bf16: one-hot selection accumulates exactly one nonzero term
+    per output, so only the pixel values round (≤0.5 gray) — and the
+    consumer (`_brief_bits`) casts to bf16 anyway, so this is lossless
+    for the descriptor bits while running ~4x faster on the MXU.
+    """
     H, W = img.shape
     S, R = PATCH_S, PATCH_R
     dy = jnp.arange(-R, R + 1)
     rows = jnp.clip(ys[:, None] + dy[None, :], 0, H - 1)      # (Q, S)
     cols = jnp.clip(xs[:, None] + dy[None, :], 0, W - 1)      # (Q, S)
+    imgb = img.astype(jnp.bfloat16)
     row_sel = (
         rows[:, :, None] == jnp.arange(H)[None, None, :]
-    ).astype(img.dtype)                                        # (Q, S, H)
-    strip = jnp.einsum("qsh,hw->qsw", row_sel, img)            # (Q, S, W)
+    ).astype(jnp.bfloat16)                                     # (Q, S, H)
+    strip = jax.lax.dot_general(
+        row_sel.reshape(-1, H), imgb,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16,
+    ).reshape(row_sel.shape[0], S, W)                          # (Q, S, W)
     col_sel = (
         cols[:, :, None] == jnp.arange(W)[None, None, :]
-    ).astype(img.dtype)                                        # (Q, S, W)
-    return jnp.einsum("qsw,qtw->qst", strip, col_sel)          # (Q, S, S)
+    ).astype(jnp.bfloat16)                                     # (Q, S, W)
+    return jnp.einsum(
+        "qsw,qtw->qst", strip, col_sel,
+        preferred_element_type=jnp.bfloat16,
+    )                                                          # (Q, S, S)
 
 
 def _brief_bits(blur, ys, xs, angle):

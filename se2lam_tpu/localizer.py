@@ -130,6 +130,24 @@ class Localizer:
         self.frame_id = 0
         self.trajectory: list[tuple[int, np.ndarray, bool]] = []
         self.key = jax.random.PRNGKey(7)
+        if vocab is None:
+            # without a vocabulary there is no relocalization path, so a
+            # cold start can never localize — require an explicit seed
+            import warnings
+
+            warnings.warn(
+                "Localizer built without a vocabulary: call "
+                "set_pose(pose, odo) to seed tracking, or pass the map's "
+                "vocabulary to enable BoW relocalization.",
+                stacklevel=2,
+            )
+
+    def set_pose(self, pose, odo):
+        """Seed the tracked state directly (e.g. known start pose, or a
+        map without a stored vocabulary)."""
+        self.pose = np.asarray(pose, np.float32)
+        self.last_odom = jnp.asarray(odo, jnp.float32)
+        self.lost = False
 
     # -- public API --
 

@@ -227,6 +227,13 @@ def merge_loop_mps(ms: MapState, k, cand, match_idx):
         & ms.mp_valid[jnp.clip(m_loop, 0)]
         & ms.mp_valid[jnp.clip(m_cur, 0)]
     )
+    # drop merge chains: if a pair's survivor is itself killed by another
+    # pair, features would be remapped into a dead slot — filter those
+    # pairs (rare; the next loop closure re-finds them)
+    dying = jnp.zeros((M,), bool).at[
+        jnp.where(active, m_cur, M)
+    ].set(True, mode="drop")
+    active = active & ~dying[jnp.clip(m_loop, 0)]
     dead = jnp.where(active, m_cur, M)
     keep = jnp.where(active, m_loop, M)
 
@@ -359,6 +366,7 @@ class LoopCloser:
         self.bank = None          # (Kmax, W) BoW vectors
         self.key = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
+        self.n_loops_dropped = 0   # verified but constraint bank was full
         self.last_loop: tuple[int, int] | None = None
 
     def _ensure_vocab(self, ms: MapState):
@@ -461,6 +469,12 @@ class LoopCloser:
         if int(n_good) < cfg.gm_vcl_num_min_match_mp:
             return ms
 
+        if bool(jnp.all(ms.ftr_valid)):
+            # constraint bank full: applying the merge/global-BA without
+            # the new edge would corrupt the map silently — skip the
+            # closure and report (callers can raise MAX_FTR_EDGES)
+            self.n_loops_dropped += 1
+            return ms
         ms = add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
         ms = merge_loop_mps(ms, k, cand, midx)
         ms, _ = run_global_ba(ms, iters=self.global_ba_iters)

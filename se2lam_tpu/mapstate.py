@@ -31,7 +31,7 @@ from .ops import se2, se3
 
 __all__ = ["MapState", "empty_map", "kf_Tcw", "MAX_FTR_EDGES"]
 
-MAX_FTR_EDGES = 64
+MAX_FTR_EDGES = 256  # feature/loop constraint slots (≈ one per KF slot)
 
 
 class MapState(NamedTuple):

@@ -63,6 +63,9 @@ def shard_ba_problem(prob: BAProblem, mesh: Mesh, axis: str = "d") -> BAProblem:
     )
 
 
+_JIT_CACHE: dict = {}
+
+
 def sharded_solve_local_ba(
     prob: BAProblem, cam, Tcb, cfg: BAConfig, mesh: Mesh, axis: str = "d"
 ):
@@ -72,11 +75,19 @@ def sharded_solve_local_ba(
     scatter-adds of per-observation Hessian blocks into local partial sums
     plus a psum into the replicated reduced system, and keeps the dense
     Cholesky replicated. Returns (poses, points, info) replicated.
+
+    The jitted wrapper is cached per (mesh, axis, cfg): building a fresh
+    ``jax.jit`` each call would retrace and recompile every time (minutes
+    on TPU).
     """
     sp = shard_ba_problem(prob, mesh, axis)
-    rep = NamedSharding(mesh, P())
-    fn = jax.jit(
-        lambda p: solve_local_ba(p, cam, Tcb, cfg),
-        out_shardings=(rep, rep, rep),
-    )
-    return fn(sp)
+    key = (id(mesh), axis, cfg)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        rep = NamedSharding(mesh, P())
+        fn = jax.jit(
+            lambda p, c, T: solve_local_ba(p, c, T, cfg),
+            out_shardings=(rep, rep, rep),
+        )
+        _JIT_CACHE[key] = fn
+    return fn(sp, cam, Tcb)

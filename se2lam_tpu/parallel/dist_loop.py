@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..frontend.matcher import hamming_matrix
+from ..vocab import bow_score
+
 __all__ = ["shard_bank", "sharded_bow_detect", "sharded_hamming_detect"]
 
 
@@ -28,22 +31,18 @@ def sharded_bow_detect(bank, query, eligible):
     """(best_idx, best_score) of the DBoW2 L1 score over the whole bank.
 
     ``bank`` may be sharded along axis 0 — the reduction and argmax are
-    partitioned by XLA; the scalars come back replicated.
+    partitioned by XLA; the scalars come back replicated. Scoring
+    delegates to ``vocab.bow_score`` so the metric cannot drift from the
+    host loop-detection path.
     """
-    s = 1.0 - 0.5 * jnp.sum(jnp.abs(bank - query[None, :]), axis=1)
-    s = jnp.where(eligible, s, -jnp.inf)
+    s = jnp.where(eligible, bow_score(bank, query), -jnp.inf)
     return jnp.argmax(s), jnp.max(s)
 
 
 @jax.jit
 def sharded_hamming_detect(desc_bank, query_desc):
     """Nearest row of a ±1 descriptor bank (sharded or not): one matmul +
-    argmin, the building block for brute-force relocalization."""
-    dot = jax.lax.dot_general(
-        desc_bank.astype(jnp.bfloat16),
-        query_desc.astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0]
-    dist = (desc_bank.shape[1] - dot) * 0.5
+    argmin, the building block for brute-force relocalization. Distance
+    comes from ``matcher.hamming_matrix`` (single convention)."""
+    dist = hamming_matrix(desc_bank, query_desc)[:, 0]
     return jnp.argmin(dist), jnp.min(dist)

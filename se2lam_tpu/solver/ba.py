@@ -102,12 +102,24 @@ def _edge_blocks(prob: BAProblem):
     return r, Ji, Jj, W, chi2
 
 
-def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb):
-    """Total masked chi2 of the problem (diagnostic + LM accept test)."""
+def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
+    """Total masked cost of the problem (diagnostic + LM accept test).
+
+    With a finite ``huber_delta`` the observation terms use the Huber
+    rho (2δ√χ² − δ² above the kink) so the LM accept decision optimizes
+    the SAME robust objective the weighted steps descend — with the raw
+    chi2 a single gross outlier could veto every step (g2o accepts on
+    the robustified active chi2 too)."""
     r_o, _, _, _, chi_o = _obs_blocks(prob, cam, Tcb, jnp.inf)
     _, _, _, _, chi_e = _edge_blocks(prob)
+    sqrt_chi = jnp.sqrt(jnp.maximum(chi_o, 1e-12))
+    rho = jnp.where(
+        sqrt_chi > huber_delta,
+        2.0 * huber_delta * sqrt_chi - huber_delta * huber_delta,
+        chi_o,
+    )
     return (
-        jnp.sum(jnp.where(prob.obs_valid, chi_o, 0.0))
+        jnp.sum(jnp.where(prob.obs_valid, rho, 0.0))
         + jnp.sum(jnp.where(prob.edge_valid, chi_e, 0.0))
     )
 
@@ -242,7 +254,7 @@ def solve_local_ba(
         )
         new_points = prob_k.points + dx
         cand = prob_k._replace(poses=new_poses, points=new_points)
-        new_chi2 = ba_chi2(cand, cam, Tcb)
+        new_chi2 = ba_chi2(cand, cam, Tcb, cfg.huber_delta)
         accept = new_chi2 < chi2
         out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), cand, prob_k
@@ -251,7 +263,7 @@ def solve_local_ba(
         return out, lam, jnp.where(accept, new_chi2, chi2)
 
     lam0 = jnp.asarray(cfg.lm_init_lambda, prob.poses.dtype)
-    chi0 = ba_chi2(prob, cam, Tcb)
+    chi0 = ba_chi2(prob, cam, Tcb, cfg.huber_delta)
     final, lam, chi = jax.lax.fori_loop(
         0, cfg.iters, step, (prob, lam0, chi0)
     )

@@ -45,9 +45,15 @@ def _edge_terms(prob: PoseGraphProblem, huber_delta):
     return r, Ji, Jj, W, chi2
 
 
-def pose_graph_chi2(prob: PoseGraphProblem):
+def pose_graph_chi2(prob: PoseGraphProblem, huber_delta=jnp.inf):
     r, _, _, _, chi2 = _edge_terms(prob, jnp.inf)
-    return jnp.sum(jnp.where(prob.edge_valid, chi2, 0.0))
+    sqrt_chi = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    rho = jnp.where(
+        sqrt_chi > huber_delta,
+        2.0 * huber_delta * sqrt_chi - huber_delta * huber_delta,
+        chi2,
+    )
+    return jnp.sum(jnp.where(prob.edge_valid, rho, 0.0))
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -95,13 +101,13 @@ def solve_pose_graph(
             se2.normalize_angle(new_poses[..., 2])
         )
         cand = p._replace(poses=new_poses)
-        new_chi2 = pose_graph_chi2(cand)
+        new_chi2 = pose_graph_chi2(cand, huber_delta)
         accept = new_chi2 < last
         out = jax.tree.map(lambda a, c: jnp.where(accept, a, c), cand, p)
         lam = jnp.where(accept, lam * 0.5, lam * 10.0)
         return out, lam, jnp.where(accept, new_chi2, last)
 
-    chi0 = pose_graph_chi2(prob)
+    chi0 = pose_graph_chi2(prob, huber_delta)
     final, _, chi = jax.lax.fori_loop(
         0, iters, step, (prob, jnp.asarray(lm_init_lambda, dtype), chi0)
     )

@@ -58,6 +58,7 @@ class SlamSystem:
 
         self.ms: MapState = empty_map(cfg.cap)
         self.ts = None
+        self._n_kf_cache = 0      # host mirror of ms.n_kf (avoids a sync)
         self.frame_id = 0
         self.kf_frame_ids: list[int] = []
         self.trajectory: list[tuple[int, np.ndarray]] = []
@@ -120,6 +121,7 @@ class SlamSystem:
                     feats, jnp.zeros(3, jnp.float32), odo, 0, view_mp, obs_mask
                 )
                 self.kf_frame_ids.append(self.frame_id)
+                self._n_kf_cache = 1
             pose = np.zeros(3, np.float32)
             self.trajectory.append((self.frame_id, pose))
             self.frame_id += 1
@@ -128,12 +130,14 @@ class SlamSystem:
         self.key, sub = jax.random.split(self.key)
         t0 = time.perf_counter()
         self.ts, res = tracking.track_frame(self.ts, feats, odo, sub, cfg)
+        # ONE host round-trip per frame for the control decision + pose
+        # (separate bool()/np.asarray() fetches each pay a device sync,
+        # which dominates on remote-attached chips)
+        need_kf, pose = jax.device_get((res.need_kf, res.pose))
         self.timings["track"] = time.perf_counter() - t0
 
-        if bool(res.need_kf) and int(self.ms.n_kf) < cfg.cap.max_kfs:
+        if bool(need_kf) and self._n_kf_cache < cfg.cap.max_kfs:
             self._insert_keyframe(feats, odo)
-
-        pose = np.asarray(res.pose)
         self.trajectory.append((self.frame_id, pose))
         self.frame_id += 1
         return pose
@@ -159,12 +163,12 @@ class SlamSystem:
 
         # bounded pruning rounds before BA (LocalMapper run loop order:
         # prune ≤5 then localBA, src/LocalMapper.cpp:304-364; each call
-        # removes at most one redundant KF)
+        # removes at most one redundant KF). No host sync on the result:
+        # a no-candidate round is already a device-side no-op, and an
+        # early-exit check would cost a device round-trip per round.
         t0 = time.perf_counter()
         for _ in range(self.prune_rounds):
-            self.ms, kid = localmap.prune_redundant_kf(self.ms, k)
-            if int(kid) < 0:
-                break
+            self.ms, _kid = localmap.prune_redundant_kf(self.ms, k)
         self.timings["prune"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -188,6 +192,10 @@ class SlamSystem:
             obs_mask,
         )
         self.kf_frame_ids.append(self.frame_id)
+        # slot allocation is monotone and the capacity guard above
+        # guarantees this insert was not dropped, so a host-side
+        # increment mirrors ms.n_kf without a device sync
+        self._n_kf_cache += 1
 
     # -- outputs (OdoSLAM::saveMap trajectory dump, src/OdoSLAM.cpp:199-214) --
 

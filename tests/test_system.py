@@ -81,8 +81,10 @@ def test_loop_closes_on_revisit():
         scale_factor=cfg0.scale_factor, n_levels=cfg0.max_level,
     )
     cfg = cfg0.replace(
-        gm_dcl_min_kfid_offset=10,
-        gm_vcl_num_min_match_mp=10,
+        # gates scaled to this 256-feature test scene (the reference
+        # defaults assume ~1000 features)
+        gm_dcl_min_kfid_offset=8,
+        gm_vcl_num_min_match_mp=6,
         gm_vcl_num_min_match_kp=15,
         cap=Capacity(
             n_features=oc.n_slots, max_kfs=64, max_mps=4096,
@@ -92,7 +94,7 @@ def test_loop_closes_on_revisit():
     world = SyntheticWorld(cfg, n_landmarks=600, room=10.0, seed=4)
     slam = SlamSystem(cfg, enable_loops=True)
     gt = world.circle_trajectory(90)
-    gt2 = np.concatenate([gt, gt[:30]])          # 1⅓ laps
+    gt2 = np.concatenate([gt, gt[:45]])          # 1½ laps
     odo = world.odometry(gt2, noise=(0.004, 0.002, 0.002), seed=3)
     for i in range(len(gt2)):
         slam.process(world.render(gt2[i]), odo[i])
