@@ -1,0 +1,55 @@
+"""Capacity stress: drive the system past its keyframe budget — the
+insertion guard plus pruning must keep it healthy (finite poses, no
+corruption, trajectory still produced)."""
+import numpy as np
+
+from se2lam_tpu.config import Capacity, SystemConfig
+from se2lam_tpu.io import SyntheticWorld
+from se2lam_tpu.system import SlamSystem
+
+from synth_utils import TCB
+from test_prune import check_consistency
+
+
+def test_kf_capacity_exhaustion():
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    oc = OrbConfig(height=120, width=160, n_features=128,
+                   scale_factor=1.2, n_levels=2)
+    cfg = SystemConfig(
+        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=128, max_level=2,
+        min_frames_between_kf=1, max_frames_between_kf=2,  # force KFs fast
+        local_iter=4,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=8, max_mps=512,  # tiny budget
+            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
+    slam = SlamSystem(cfg, enable_loops=False)
+    n = 40
+    for img, odo in world.sequence(n, noise=(0.002, 0.001, 0.001)):
+        slam.process(img, odo)
+
+    assert slam.frame_id == n
+    # the KF bank hit its cap and stopped growing (guard engaged),
+    # possibly freeing slots through pruning — never exceeding capacity
+    assert slam.n_keyframes() <= cfg.cap.max_kfs
+    est = np.asarray([p for _, p in slam.trajectory])
+    assert np.isfinite(est).all()
+    # pose keeps following odometry even after the map stops growing
+    # (compare in the map frame, gauged at the first body pose)
+    import jax.numpy as jnp
+
+    from se2lam_tpu.ops import se2
+
+    gt_rel = np.asarray(
+        se2.minus(jnp.asarray(world.gt[n - 1]), jnp.asarray(world.gt[0]))
+    )
+    assert np.linalg.norm(est[-1][:2] - gt_rel[:2]) < 1.0
+    check_consistency(slam.ms)
+    rows = slam.kf_trajectory()
+    assert rows.shape[0] == int(np.asarray(slam.ms.kf_valid).sum())
