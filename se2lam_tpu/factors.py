@@ -69,6 +69,21 @@ def se2xyz_residual(pose, point_w, uv, cam: CameraModel, Tcb):
     return jnp.stack([u, v], axis=-1) - uv
 
 
+def huber_rho(chi2, delta):
+    """Huber robust cost: χ² below the kink, 2δ√χ² − δ² above. Shared by
+    every LM accept test so the solvers optimize one objective."""
+    sqrt_chi = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    return jnp.where(sqrt_chi > delta, 2.0 * delta * sqrt_chi - delta * delta,
+                     chi2)
+
+
+def pixel_jacobian(lc, cam: CameraModel):
+    """∂(u,v)/∂(camera-frame point): the 2x3 pinhole Jacobian at ``lc``
+    (z clamped away from 0)."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=lc.dtype), lc.shape[:-1] + (3, 3))
+    return _proj_jac_rcw(lc, eye, cam)
+
+
 def _proj_jac_rcw(lc, Rcw, cam: CameraModel):
     """J_π · Rcw  (2x3). The reference uses fx for both rows via g2o's
     single-focal CameraParameters (src/optimizer.cpp:207-215); we use

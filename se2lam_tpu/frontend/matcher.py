@@ -64,10 +64,10 @@ def _mutual_filter(accept, best_idx, best_dist, n_cols):
     """
     n_rows = accept.shape[0]
     row_ids = jnp.arange(n_rows, dtype=jnp.float32)
-    # unique tie-broken key: distance then row index. Hamming distances
-    # step by 0.5, so the distance stride must exceed n_rows/0.5 for the
-    # key to stay order-preserving (with a bare n_rows stride, a farther
-    # match could out-key a nearer one).
+    # unique tie-broken key: distance-major, row index as the tie-break.
+    # Hamming distances step by 1.0 (integer bit counts), so any stride
+    # > n_rows is order-preserving; 4·n_rows leaves headroom if a scaled
+    # distance (sub-integer steps) is ever routed through this filter.
     key = jnp.where(accept, best_dist * (4.0 * n_rows) + row_ids, jnp.inf)
     col_min = jnp.full((n_cols,), jnp.inf).at[best_idx].min(key)
     return accept & (key <= col_min[best_idx])

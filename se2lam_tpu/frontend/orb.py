@@ -281,8 +281,10 @@ def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
     Returns (ys, xs, response, valid) each (quota,) in level pixels.
     """
     H, W = img.shape
-    s_high = nms3x3(fast_score(img, cfg.fast_high))
-    s_low = nms3x3(fast_score(img, cfg.fast_low))
+    s_high_raw = fast_score(img, cfg.fast_high)
+    s_low_raw = fast_score(img, cfg.fast_low)
+    s_high = nms3x3(s_high_raw)
+    s_low = nms3x3(s_low_raw)
 
     # border mask
     border = jnp.zeros((H, W), bool).at[
@@ -358,7 +360,29 @@ def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
     wy, wx = within // cw, within % cw
     ys = cfg.edge + cy * ch + wy
     xs = cfg.edge + cx * cw + wx
-    return ys, xs, resp, valid
+
+    # subpixel refinement: 1D parabola through the raw FAST score at the
+    # corner and its 4-neighbors (reported coordinates only — descriptor
+    # sampling stays on the integer grid). The reference reports integer
+    # FAST corners; the ±0.5 px quantization is a measurable floor on
+    # pose accuracy, so this is a deliberate improvement.
+    score_for_sub = s_low_raw   # defined wherever either threshold fires
+    s_c = score_for_sub[ys, xs]
+    s_l = score_for_sub[ys, jnp.clip(xs - 1, 0)]
+    s_r = score_for_sub[ys, jnp.clip(xs + 1, 0, W - 1)]
+    s_u = score_for_sub[jnp.clip(ys - 1, 0), xs]
+    s_d = score_for_sub[jnp.clip(ys + 1, 0, H - 1), xs]
+    denom_x = s_l - 2.0 * s_c + s_r
+    denom_y = s_u - 2.0 * s_c + s_d
+    dx_sub = jnp.where(
+        jnp.abs(denom_x) > 1e-6, 0.5 * (s_l - s_r) / denom_x, 0.0
+    )
+    dy_sub = jnp.where(
+        jnp.abs(denom_y) > 1e-6, 0.5 * (s_u - s_d) / denom_y, 0.0
+    )
+    xs_f = xs.astype(jnp.float32) + jnp.clip(dx_sub, -0.5, 0.5)
+    ys_f = ys.astype(jnp.float32) + jnp.clip(dy_sub, -0.5, 0.5)
+    return ys, xs, ys_f, xs_f, resp, valid
 
 
 def make_extractor(cfg: OrbConfig):
@@ -381,7 +405,9 @@ def make_extractor(cfg: OrbConfig):
             quota = cfg.level_quotas[l]
             if quota <= 0:
                 continue
-            ys, xs, resp, valid = _select_level_keypoints(cfg, level_img, quota)
+            ys, xs, ys_f, xs_f, resp, valid = _select_level_keypoints(
+                cfg, level_img, quota
+            )
 
             # orientation from moment maps (IC_Angle)
             moments = _orientation_maps(level_img)
@@ -397,7 +423,7 @@ def make_extractor(cfg: OrbConfig):
             scale = cfg.scales[l]
             outs.append(
                 dict(
-                    xy=jnp.stack([xs, ys], -1).astype(jnp.float32) * scale,
+                    xy=jnp.stack([xs_f, ys_f], -1) * scale,
                     angle=angle,
                     octave=jnp.full(quota, l, jnp.int32),
                     response=resp,

@@ -52,12 +52,18 @@ def load_map(path: str):
     """Load (MapState, Vocabulary | None, meta dict) from ``path``."""
     with open(os.path.join(path, "meta.json")) as f:
         info = json.load(f)
-    if info.get("format_version") != _FORMAT_VERSION:
-        raise ValueError(f"unsupported map format: {info.get('format_version')}")
+    version = info.get("format_version")
+    if version not in (1, _FORMAT_VERSION):
+        raise ValueError(f"unsupported map format: {version}")
     data = np.load(os.path.join(path, "map.npz"))
     fields = {}
     for name in MapState._fields:
-        fields[name] = jnp.asarray(data[f"ms_{name}"])
+        if f"ms_{name}" in data:
+            fields[name] = jnp.asarray(data[f"ms_{name}"])
+    if version == 1 and "mp_desc_votes" not in fields:
+        # lossless upgrade: the stored majority descriptor is itself a
+        # one-observation vote state
+        fields["mp_desc_votes"] = fields["mp_desc"].astype(jnp.int16)
     ms = MapState(**fields)
     vocab = None
     if info.get("has_vocab"):

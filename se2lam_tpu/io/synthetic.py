@@ -107,9 +107,22 @@ class SyntheticWorld:
 
         img = np.full((H, W), 20.0, np.float32)
         for i in np.nonzero(vis)[0]:
-            cy, cx = int(round(v[i])), int(round(u[i]))
-            img[cy - r : cy + r + 1, cx - r : cx + r + 1] = self.patches[i]
-        return img
+            # bilinear splat at the subpixel position — snapping to integer
+            # pixels would quantize the visual world itself by ±0.5 px and
+            # put a floor under any tracker's achievable accuracy
+            u0, v0 = int(np.floor(u[i])), int(np.floor(v[i]))
+            fu, fv = u[i] - u0, v[i] - v0
+            p = self.patches[i]
+            for dy, wy in ((0, 1.0 - fv), (1, fv)):
+                for dx, wx in ((0, 1.0 - fu), (1, fu)):
+                    w = wy * wx
+                    if w < 1e-6:
+                        continue
+                    cy, cx = v0 + dy, u0 + dx
+                    img[cy - r : cy + r + 1, cx - r : cx + r + 1] += w * (
+                        p - 20.0
+                    )
+        return np.clip(img, 0.0, 255.0)
 
     def sequence(self, n_frames: int, noise=(0.002, 0.001, 0.001), seed=1):
         """Yield (image, odo_reading) pairs plus keep gt in ``self.gt``."""

@@ -115,23 +115,14 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
     # camera-frame view, Σ_uv = J Σ₃ Jᵀ + I, and invert. Features whose
     # info was never filled fall back to identity.
     def _pixel_info(view, info3):
+        from . import factors as F
         from .ops import linalg
 
         has = jnp.trace(info3, axis1=-2, axis2=-1) > 1e-9
         Sigma3 = linalg.inv3x3(
             info3 + 1e-9 * jnp.eye(3, dtype=dtype)
         )
-        z = jnp.maximum(view[..., 2], 1e-3)
-        zi = 1.0 / z
-        zi2 = zi * zi
-        zero = jnp.zeros_like(zi)
-        J = jnp.stack(
-            [
-                jnp.stack([cfg.fx * zi, zero, -cfg.fx * view[..., 0] * zi2], -1),
-                jnp.stack([zero, cfg.fy * zi, -cfg.fy * view[..., 1] * zi2], -1),
-            ],
-            axis=-2,
-        )
+        J = F.pixel_jacobian(view, cam)
         Sigma_uv = J @ Sigma3 @ jnp.swapaxes(J, -1, -2) + jnp.eye(
             2, dtype=dtype
         )
@@ -257,12 +248,30 @@ def merge_loop_mps(ms: MapState, k, cand, match_idx):
         jnp.where(votes >= 0, 1, -1).astype(jnp.int8),
         ms.mp_desc,
     )
+    # fold the dead point's viewing normal into the survivor's running
+    # mean, weighted by observation counts (the transferred observations
+    # below inflate mp_n_obs, so later running-mean updates assume the
+    # normal already reflects them)
+    dead_c2 = jnp.clip(dead, 0, M - 1)
+    w_keep = ms.mp_n_obs[jnp.clip(keep, 0, M - 1)].astype(
+        ms.mp_normal.dtype
+    )[:, None]
+    w_dead = ms.mp_n_obs[dead_c2].astype(ms.mp_normal.dtype)[:, None]
+    blended = (
+        ms.mp_normal[jnp.clip(keep, 0, M - 1)] * w_keep
+        + ms.mp_normal[dead_c2] * w_dead
+    )
+    blended = blended / jnp.maximum(
+        jnp.linalg.norm(blended, axis=-1, keepdims=True), 1e-12
+    )
+    normals = ms.mp_normal.at[keep].set(blended, mode="drop")
     ms = ms._replace(
         kf_obs_mp=new_obs,
         mp_valid=mp_valid,
         mp_good_prl=good,
         mp_desc_votes=votes,
         mp_desc=desc,
+        mp_normal=normals,
     )
 
     # transfer the dead points' observation lists to the survivors
@@ -326,7 +335,10 @@ def run_global_ba(ms: MapState, iters: int = 15):
         edge_info=edge_info,
         edge_valid=edge_valid,
     )
-    new_poses, info = solve_pose_graph(prob, iters=iters)
+    # Huber on the graph edges: accumulated loop/feature constraints carry
+    # estimation error from their mini-BAs; robustifying keeps a few bad
+    # or over-confident edges from dragging a well-odometered trajectory
+    new_poses, info = solve_pose_graph(prob, iters=iters, huber_delta=3.0)
 
     # re-anchor every MP rigidly with its main KF's pose correction
     # (the reference re-derives positions from mainKF mViewMPs,
@@ -362,6 +374,7 @@ class LoopCloser:
         self.global_ba_iters = (
             cfg.global_iter if global_ba_iters is None else global_ba_iters
         )
+        self.min_kfs_between_loops = 5
         self.vocab = None
         self.bank = None          # (Kmax, W) BoW vectors
         self.key = jax.random.PRNGKey(42)
@@ -431,6 +444,18 @@ class LoopCloser:
         k = int(k)
         ms = self._maybe_feat_edge(ms, k)
         if not self._ensure_vocab(ms):
+            return ms
+        # temporal throttle: consecutive keyframes revisiting the same
+        # place would close near-duplicate loops whose correlated errors
+        # pile up in the pose graph; one closure per revisit is enough
+        if (
+            self.last_loop is not None
+            and k - self.last_loop[1] < self.min_kfs_between_loops
+        ):
+            v, _ = vocab_mod.bow_transform(
+                self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
+            )
+            self.bank = self.bank.at[k].set(v)
             return ms
         v, _ = vocab_mod.bow_transform(
             self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]

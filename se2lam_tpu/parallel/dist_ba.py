@@ -81,7 +81,9 @@ def sharded_solve_local_ba(
     on TPU).
     """
     sp = shard_ba_problem(prob, mesh, axis)
-    key = (id(mesh), axis, cfg)
+    # key on mesh structure (not object identity): structurally identical
+    # meshes share the executable, and dead mesh objects aren't pinned
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, axis, cfg)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         rep = NamedSharding(mesh, P())

@@ -112,12 +112,7 @@ def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
     the robustified active chi2 too)."""
     r_o, _, _, _, chi_o = _obs_blocks(prob, cam, Tcb, jnp.inf)
     _, _, _, _, chi_e = _edge_blocks(prob)
-    sqrt_chi = jnp.sqrt(jnp.maximum(chi_o, 1e-12))
-    rho = jnp.where(
-        sqrt_chi > huber_delta,
-        2.0 * huber_delta * sqrt_chi - huber_delta * huber_delta,
-        chi_o,
-    )
+    rho = factors.huber_rho(chi_o, huber_delta)
     return (
         jnp.sum(jnp.where(prob.obs_valid, rho, 0.0))
         + jnp.sum(jnp.where(prob.edge_valid, chi_e, 0.0))

@@ -47,12 +47,7 @@ def _edge_terms(prob: PoseGraphProblem, huber_delta):
 
 def pose_graph_chi2(prob: PoseGraphProblem, huber_delta=jnp.inf):
     r, _, _, _, chi2 = _edge_terms(prob, jnp.inf)
-    sqrt_chi = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-    rho = jnp.where(
-        sqrt_chi > huber_delta,
-        2.0 * huber_delta * sqrt_chi - huber_delta * huber_delta,
-        chi2,
-    )
+    rho = factors.huber_rho(chi2, huber_delta)
     return jnp.sum(jnp.where(prob.edge_valid, rho, 0.0))
 
 

@@ -58,7 +58,6 @@ class SlamSystem:
 
         self.ms: MapState = empty_map(cfg.cap)
         self.ts = None
-        self._n_kf_cache = 0      # host mirror of ms.n_kf (avoids a sync)
         self.frame_id = 0
         self.kf_frame_ids: list[int] = []
         self.trajectory: list[tuple[int, np.ndarray]] = []
@@ -121,7 +120,6 @@ class SlamSystem:
                     feats, jnp.zeros(3, jnp.float32), odo, 0, view_mp, obs_mask
                 )
                 self.kf_frame_ids.append(self.frame_id)
-                self._n_kf_cache = 1
             pose = np.zeros(3, np.float32)
             self.trajectory.append((self.frame_id, pose))
             self.frame_id += 1
@@ -130,13 +128,16 @@ class SlamSystem:
         self.key, sub = jax.random.split(self.key)
         t0 = time.perf_counter()
         self.ts, res = tracking.track_frame(self.ts, feats, odo, sub, cfg)
-        # ONE host round-trip per frame for the control decision + pose
+        # ONE host round-trip per frame for the control decisions + pose
         # (separate bool()/np.asarray() fetches each pay a device sync,
-        # which dominates on remote-attached chips)
-        need_kf, pose = jax.device_get((res.need_kf, res.pose))
+        # which dominates on remote-attached chips). n_kf rides along —
+        # it was computed by the previous insert and is already resident.
+        need_kf, pose, n_kf = jax.device_get(
+            (res.need_kf, res.pose, self.ms.n_kf)
+        )
         self.timings["track"] = time.perf_counter() - t0
 
-        if bool(need_kf) and self._n_kf_cache < cfg.cap.max_kfs:
+        if bool(need_kf) and int(n_kf) < cfg.cap.max_kfs:
             self._insert_keyframe(feats, odo)
         self.trajectory.append((self.frame_id, pose))
         self.frame_id += 1
@@ -192,10 +193,6 @@ class SlamSystem:
             obs_mask,
         )
         self.kf_frame_ids.append(self.frame_id)
-        # slot allocation is monotone and the capacity guard above
-        # guarantees this insert was not dropped, so a host-side
-        # increment mirrors ms.n_kf without a device sync
-        self._n_kf_cache += 1
 
     # -- outputs (OdoSLAM::saveMap trajectory dump, src/OdoSLAM.cpp:199-214) --
 
