@@ -222,6 +222,13 @@ class SlamSystem:
                     f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f} {r[4]:.6f}\n"
                 )
 
+    def save_frame_trajectory(self, path: str):
+        """Per-frame CSV: frame_id, x, y, theta (the SLAM-mode analog of
+        the Localizer's per-frame dump, src/Localizer.cpp:178-193)."""
+        with open(path, "w") as f:
+            for fid, p in self.trajectory:
+                f.write(f"{fid},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f}\n")
+
     def n_keyframes(self) -> int:
         return int(self.ms.n_kf)
 
