@@ -29,8 +29,10 @@ from .frontend.ransac import ransac_fundamental
 from .mapstate import MAX_FTR_EDGES, MapState, kf_Tcw
 from .ops import se2, se3
 from .ops.camera import CameraModel
+from . import factors
 from .solver.ba import BAConfig, BAProblem, solve_local_ba
 from .solver.posegraph import PoseGraphProblem, solve_pose_graph
+from .solver.poseonly import solve_pose_only
 from .solver.sparsifier import marginalize_pair_constraint
 
 __all__ = ["LoopCloser", "kf_features", "run_global_ba"]
@@ -88,10 +90,18 @@ def verify_loop(ms: MapState, k, cand, key, n_trials: int = 128):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
+def build_loop_constraint_ba(
+    ms: MapState, k, cand, match_idx, cfg: SystemConfig
+):
     """2-KF mini-BA + Schur sparsification → one relative SE2 constraint
     (CreateFeatEdge/OptKFPairMatch + Sparsifier,
-    src/GlobalMapper.cpp:781-1032, src/sparsifier.cpp:105-274)."""
+    src/GlobalMapper.cpp:781-1032, src/sparsifier.cpp:105-274).
+
+    NOTE: with both the pose and the points free and only two views, the
+    translation scale is a near-gauge direction (2-view reconstruction is
+    scale-free; only the points' initial positions pin it through LM
+    damping). ``build_loop_constraint`` below is the default: it anchors
+    the estimate metrically on the FIXED map points."""
     N = ms.N
     dtype = ms.kf_pose.dtype
     cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
@@ -162,8 +172,6 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
 
     # chi2 gate per edge (OptKFPairMatch chi2>5 outliers,
     # src/GlobalMapper.cpp:1006-1022): drop pairs with bad reprojection
-    from . import factors
-
     def reproj_chi2(pose, x, uv):
         r = factors.se2xyz_residual(pose, x, uv, cam, Tcb)
         return jnp.sum(r * r, axis=-1)
@@ -181,6 +189,67 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
         cam, Tcb,
     )
     return meas, cinfo, jnp.sum(good.astype(jnp.int32)), good
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
+    """Relative SE2 loop constraint from a pose-only solve against FIXED
+    map points.
+
+    The map's scale is already pinned by the odometry history, so
+    estimating only the current pose against the loop keyframe's map
+    points (the Localizer's DoLocalBA shape, src/Localizer.cpp:233-302)
+    is metrically anchored — unlike a 2-view free-point mini-BA whose
+    translation scale is a near-gauge direction. The constraint's
+    information is the pose-only Gauss-Newton Hessian at the optimum,
+    transported onto the relative measurement and eigenvalue-clamped
+    (the Sparsifier's role, src/sparsifier.cpp:219-274).
+    """
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+
+    j = jnp.clip(match_idx, 0)
+    m_loop = ms.kf_obs_mp[cand]
+    pair = (
+        (match_idx >= 0)
+        & (m_loop >= 0)
+        & ms.mp_valid[jnp.clip(m_loop, 0)]
+    )
+    points = ms.mp_pos[jnp.clip(m_loop, 0)]
+    uv_cur = ms.kf_xy[k][j]
+
+    pose_opt, chi, n_in = solve_pose_only(
+        ms.kf_pose[k], points, uv_cur, pair, cam, Tcb,
+        iters=20, huber_delta=float(cfg.th_huber2) ** 0.5,
+    )
+
+    # chi2 gate per correspondence (OptKFPairMatch chi2>5 outliers,
+    # src/GlobalMapper.cpp:1006-1022)
+    r = jax.vmap(
+        lambda x, u: factors.se2xyz_residual(pose_opt, x, u, cam, Tcb)
+    )(points, uv_cur)
+    chi2 = jnp.sum(r * r, axis=-1)
+    good = pair & (chi2 < cfg.th_huber2)
+
+    # pose information at the optimum from the good correspondences
+    _, Jp, _ = jax.vmap(
+        lambda x, u: factors.se2xyz_residual_jac(pose_opt, x, u, cam, Tcb)
+    )(points, uv_cur)
+    w = jnp.where(good, 1.0, 0.0)
+    H = jnp.einsum("mai,m,maj->ij", Jp, w, Jp)
+
+    # transport onto the relative measurement ξ = pose_k ⊖ pose_cand
+    pose_loop = ms.kf_pose[cand]
+    meas = se2.minus(pose_opt, pose_loop)
+    _, _, Jj = factors.pre_se2_residual_jac(pose_loop, pose_opt, meas)
+    Jj_inv = jnp.linalg.inv(Jj)
+    info = Jj_inv.T @ H @ Jj_inv
+    info = 0.5 * (info + info.T)
+    evals, evecs = jnp.linalg.eigh(info)
+    evals = jnp.clip(evals, 1e-6, 1e4)
+    info = (evecs * evals[None, :]) @ evecs.T
+    return meas, info, jnp.sum(good.astype(jnp.int32)), good
 
 
 @jax.jit
