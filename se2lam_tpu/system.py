@@ -61,6 +61,11 @@ class SlamSystem:
         self.frame_id = 0
         self.kf_frame_ids: list[int] = []
         self.trajectory: list[tuple[int, np.ndarray]] = []
+        # (frame_id, ref_kf_slot, pose ⊖ ref_pose) per frame, for
+        # retro-correcting the live trajectory after BA/loop closures
+        self._frame_anchors: list[tuple[int, int, np.ndarray]] = []
+        self._ref_kf_host = 0
+        self._ref_pose_host = np.zeros(3, np.float32)
         self.key = jax.random.PRNGKey(0)
         self.timings: dict[str, float] = {}
         self.prune_rounds = 2
@@ -137,6 +142,21 @@ class SlamSystem:
         )
         self.timings["track"] = time.perf_counter() - t0
 
+        # anchor record for retro-correction: this frame's pose relative
+        # to its reference KF (whose estimate later BA/loop closures move).
+        # Host-side bookkeeping only — no extra device syncs.
+        dx = pose[0] - self._ref_pose_host[0]
+        dy = pose[1] - self._ref_pose_host[1]
+        c = np.cos(self._ref_pose_host[2])
+        s = np.sin(self._ref_pose_host[2])
+        dt = pose[2] - self._ref_pose_host[2]
+        rel = np.asarray(
+            [c * dx + s * dy, -s * dx + c * dy,
+             np.arctan2(np.sin(dt), np.cos(dt))],
+            np.float32,
+        )
+        self._frame_anchors.append((self.frame_id, self._ref_kf_host, rel))
+
         if bool(need_kf) and int(n_kf) < cfg.cap.max_kfs:
             self._insert_keyframe(feats, odo)
         self.trajectory.append((self.frame_id, pose))
@@ -184,15 +204,26 @@ class SlamSystem:
         # reset tracking against the (BA-refined) new reference KF
         # (Track::resetLocalTrack, src/Track.cpp:195-209)
         view_mp, obs_mask = localmap.kf_track_seed(self.ms, k)
+        new_ref_pose = self.ms.kf_pose[k]
         self.ts = tracking.init_track_state(
             feats,
-            self.ms.kf_pose[k],
+            new_ref_pose,
             odo,
             k,
             view_mp,
             obs_mask,
         )
         self.kf_frame_ids.append(self.frame_id)
+        # per-KF host mirror for the retro-correction anchors (one sync
+        # per keyframe, not per frame)
+        kf_slot, ref_pose = jax.device_get((k, new_ref_pose))
+        self._ref_kf_host = int(kf_slot)
+        self._ref_pose_host = np.asarray(ref_pose, np.float32)
+        # the current frame became the KF: re-anchor its record exactly
+        if self._frame_anchors and self._frame_anchors[-1][0] == self.frame_id:
+            self._frame_anchors[-1] = (
+                self.frame_id, self._ref_kf_host, np.zeros(3, np.float32)
+            )
 
     # -- outputs (OdoSLAM::saveMap trajectory dump, src/OdoSLAM.cpp:199-214) --
 
@@ -221,6 +252,27 @@ class SlamSystem:
                 f.write(
                     f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f} {r[4]:.6f}\n"
                 )
+
+    def corrected_trajectory(self) -> np.ndarray:
+        """(n, 4) [frame_id, x, y, theta]: the per-frame trajectory with
+        every pose re-anchored on its reference keyframe's CURRENT
+        estimate — so past frames benefit retroactively from local BA and
+        loop closures. (The live `trajectory` list keeps the poses as
+        they were published; the reference offers only the final KF dump,
+        src/OdoSLAM.cpp:199-214.)"""
+        kf_pose = np.asarray(self.ms.kf_pose)
+        out = []
+        anchors = {fid: (ref, rel) for fid, ref, rel in self._frame_anchors}
+        for fid, live in self.trajectory:
+            if fid in anchors:
+                ref, rel = anchors[fid]
+                p = np.asarray(
+                    se2.compose(jnp.asarray(kf_pose[ref]), jnp.asarray(rel))
+                )
+            else:
+                p = live                  # first frame(s): origin gauge
+            out.append([fid, p[0], p[1], p[2]])
+        return np.asarray(out, np.float64)
 
     def save_frame_trajectory(self, path: str):
         """Per-frame CSV: frame_id, x, y, theta (the SLAM-mode analog of

@@ -107,6 +107,24 @@ def test_loop_closes_on_revisit():
     assert np.isfinite(np.asarray(slam.ms.kf_pose)).all()
 
 
+def test_corrected_trajectory(run_result):
+    """Retro-corrected per-frame poses re-anchor on the CURRENT keyframe
+    estimates: at each keyframe's own frame the corrected pose must equal
+    that keyframe's pose exactly."""
+    slam, world, n = run_result
+    corr = slam.corrected_trajectory()
+    assert corr.shape == (n, 4)
+    assert np.isfinite(corr).all()
+    kf_pose = np.asarray(slam.ms.kf_pose)
+    by_fid = {int(r[0]): r[1:] for r in corr}
+    for slot, fid in enumerate(slam.kf_frame_ids):
+        if not bool(slam.ms.kf_valid[slot]):
+            continue
+        np.testing.assert_allclose(
+            by_fid[fid], kf_pose[slot], atol=1e-5
+        )
+
+
 def test_kf_trajectory_format(run_result, tmp_path):
     slam, world, n = run_result
     path = tmp_path / "kf_traj.txt"
