@@ -586,7 +586,11 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
     preintegrated odometry edges along the KF chain."""
     K, M, N = ms.K, ms.M, ms.N
     dtype = ms.kf_pose.dtype
-    Wl, Wr, Mw = cfg.cap.local_kfs, cfg.cap.local_ref_kfs, cfg.cap.local_mps
+    # clamp window capacities to the map's actual sizes (a config with
+    # local windows larger than the map would otherwise break top_k)
+    Wl = min(cfg.cap.local_kfs, K)
+    Wr = min(cfg.cap.local_ref_kfs, K)
+    Mw = min(cfg.cap.local_mps, M)
     cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
     Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
 
