@@ -50,9 +50,17 @@ def hamming_matrix(pm1_a, pm1_b):
 
 
 def _top2_min(D):
-    """Row-wise (best, second, argbest) of a masked distance matrix."""
-    neg, idx = jax.lax.top_k(-D, 2)
-    return -neg[:, 0], -neg[:, 1], idx[:, 0]
+    """Row-wise (best, second, argbest) of a masked distance matrix.
+
+    Two masked min/argmin reductions instead of ``top_k`` — top_k lowers
+    to a full row sort on TPU (~10% of the tracking step), while min
+    reductions are single VPU passes."""
+    best = jnp.min(D, axis=1)
+    idx = jnp.argmin(D, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+    D2 = jnp.where(col == idx[:, None], jnp.inf, D)
+    second = jnp.min(D2, axis=1)
+    return best, second, idx
 
 
 def _mutual_filter(accept, best_idx, best_dist, n_cols):
