@@ -78,6 +78,79 @@ class SlamSystem:
             self._loop_closer = None
         self._pending_odo = None
         self._pending_img = None
+        self._resume_pending = False
+
+    @classmethod
+    def resume(cls, cfg: SystemConfig, map_path: str,
+               enable_loops: bool = True) -> "SlamSystem":
+        """Continue SLAM on a previously saved map (the reference's
+        USE_PREV_MAP mode, src/OdoSLAM.cpp:112-115 + MapStorage::loadMap).
+
+        The first processed frame relocalizes against the loaded map via
+        BoW + RANSAC-verified 2D-3D matches to seed the track (the map
+        gauge is the saved one, not the new session's start pose); frames
+        before successful relocalization are reported at the origin.
+        Requires the map to have been saved with its vocabulary.
+        """
+        from .io.mapstorage import load_map
+
+        ms, vocab, info = load_map(map_path)
+        if vocab is None:
+            raise ValueError(
+                "resume requires a map saved with its vocabulary "
+                "(needed to relocalize the first frame)"
+            )
+        slam = cls(cfg, enable_loops=enable_loops)
+        slam.ms = ms
+        if slam._loop_closer is not None:
+            slam._loop_closer.vocab = vocab
+            # rebuild the BoW bank for the loaded keyframes
+            import jax as _jax
+
+            from . import vocab as vocab_mod
+
+            bank, _ = _jax.vmap(
+                lambda d, m: vocab_mod.bow_transform(vocab, d, m)
+            )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
+            slam._loop_closer.bank = bank
+        slam._resume_vocab = vocab
+        slam._resume_pending = True
+        return slam
+
+    def _try_resume_reloc(self, feats: OrbFeatures, odo) -> bool:
+        """Relocalize the first post-resume frame; on success, insert it
+        as a keyframe in the loaded map's gauge and start tracking."""
+        from .localizer import Localizer
+
+        loc = Localizer(
+            self.cfg, self.ms, self._resume_vocab, reloc_min_inliers=30
+        )
+        pose = loc.process_features(feats, odo)
+        if pose is None:
+            return False
+        # seed tracking: insert the current frame as a KF at the
+        # relocalized pose (data association runs against the loaded map
+        # via projection matching). The seed chains from the loaded
+        # map's chain TAIL (whose pre_next slot is free — chaining from
+        # any interior KF would overwrite a real loaded edge) with a
+        # near-uninformative covariance: there is no real preintegration
+        # across the session gap.
+        ref_idx = int(jax.device_get(self.ms.n_kf)) - 1
+        pose_j = jnp.asarray(pose, jnp.float32)
+        rel = se2.minus(pose_j, self.ms.kf_pose[ref_idx])
+        ts_seed = tracking.init_track_state(
+            feats, pose_j, jnp.asarray(odo),
+            ref_idx, jnp.zeros((self.orb_cfg.n_slots, 3), jnp.float32),
+            jnp.zeros((self.orb_cfg.n_slots,), bool),
+        )
+        self.ts = ts_seed._replace(
+            cur_pose=pose_j,
+            pre_meas=rel,
+            pre_cov=jnp.eye(3, dtype=jnp.float32) * 1e6,
+        )
+        self._insert_keyframe(feats, jnp.asarray(odo, jnp.float32))
+        self._resume_pending = False
+        return True
 
     # -- reference-shaped split feed API (OdoSLAM::receiveOdoData/ImgData) --
 
@@ -112,6 +185,18 @@ class SlamSystem:
     def process_features(self, feats: OrbFeatures, odo) -> np.ndarray:
         cfg = self.cfg
         odo = jnp.asarray(odo, jnp.float32)
+
+        if self.ts is None and self._resume_pending:
+            # resumed session: relocalize against the loaded map first
+            if self._try_resume_reloc(feats, odo):
+                pose = np.asarray(
+                    jax.device_get(self.ms.kf_pose[self._ref_kf_host])
+                )
+            else:
+                pose = np.zeros(3, np.float32)
+            self.trajectory.append((self.frame_id, pose))
+            self.frame_id += 1
+            return pose
 
         if self.ts is None:
             # first frame → KF 0 at origin if enough keypoints
