@@ -392,7 +392,7 @@ def add_keyframe(
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def prune_redundant_kf(ms: MapState, cur_kf):
+def prune_redundant_kf(ms: MapState, cur_kf, protect=-1):
     """Remove at most one redundant keyframe per call
     (Map::pruneRedundantKF, src/Map.cpp:146-283; the reference loops ≤5
     rounds, the system shell does the same).
@@ -426,6 +426,7 @@ def prune_redundant_kf(ms: MapState, cur_kf):
         & has_next
         & (prev_of >= 0)
         & (jnp.arange(K) != cur_kf)
+        & (jnp.arange(K) != protect)   # e.g. the live tracking reference
     )
     any_cand = jnp.any(candidate)
     # lowest-id candidate (reference scans in id order, src/Map.cpp:151)

@@ -100,6 +100,18 @@ class SlamSystem:
                 "resume requires a map saved with its vocabulary "
                 "(needed to relocalize the first frame)"
             )
+        if (ms.K, ms.M, ms.N) != (
+            cfg.cap.max_kfs, cfg.cap.max_mps, cfg.cap.n_features
+        ):
+            raise ValueError(
+                f"config capacities {(cfg.cap.max_kfs, cfg.cap.max_mps, cfg.cap.n_features)} "
+                f"do not match the saved map's {(ms.K, ms.M, ms.N)}"
+            )
+        if info["n_kf"] >= cfg.cap.max_kfs:
+            raise ValueError(
+                "saved map is at keyframe capacity; no slot for the "
+                "relocalization seed — raise cap.max_kfs"
+            )
         slam = cls(cfg, enable_loops=enable_loops)
         slam.ms = ms
         if slam._loop_closer is not None:
@@ -115,16 +127,19 @@ class SlamSystem:
             slam._loop_closer.bank = bank
         slam._resume_vocab = vocab
         slam._resume_pending = True
+        # one Localizer for the whole relocalization phase — building it
+        # per frame would rebuild the BoW bank each attempt
+        from .localizer import Localizer
+
+        slam._reloc_localizer = Localizer(
+            cfg, ms, vocab, reloc_min_inliers=30
+        )
         return slam
 
     def _try_resume_reloc(self, feats: OrbFeatures, odo) -> bool:
         """Relocalize the first post-resume frame; on success, insert it
         as a keyframe in the loaded map's gauge and start tracking."""
-        from .localizer import Localizer
-
-        loc = Localizer(
-            self.cfg, self.ms, self._resume_vocab, reloc_min_inliers=30
-        )
+        loc = self._reloc_localizer
         pose = loc.process_features(feats, odo)
         if pose is None:
             return False
@@ -191,6 +206,12 @@ class SlamSystem:
             if self._try_resume_reloc(feats, odo):
                 pose = np.asarray(
                     jax.device_get(self.ms.kf_pose[self._ref_kf_host])
+                )
+                # anchor the seed frame on its own keyframe so it
+                # retro-corrects like every other KF frame
+                self._frame_anchors.append(
+                    (self.frame_id, self._ref_kf_host,
+                     np.zeros(3, np.float32))
                 )
             else:
                 pose = np.zeros(3, np.float32)
@@ -274,7 +295,12 @@ class SlamSystem:
         # early-exit check would cost a device round-trip per round.
         t0 = time.perf_counter()
         for _ in range(self.prune_rounds):
-            self.ms, _kid = localmap.prune_redundant_kf(self.ms, k)
+            # protect the OUTGOING tracking reference too: recent frames'
+            # retro-correction anchors point at it, and a pruned KF's pose
+            # freezes out of future BA/loop corrections
+            self.ms, _kid = localmap.prune_redundant_kf(
+                self.ms, k, protect=self._ref_kf_host
+            )
         self.timings["prune"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -345,14 +371,19 @@ class SlamSystem:
         loop closures. (The live `trajectory` list keeps the poses as
         they were published; the reference offers only the final KF dump,
         src/OdoSLAM.cpp:199-214.)"""
-        kf_pose = np.asarray(self.ms.kf_pose)
-        out = []
+        kf_pose = np.asarray(self.ms.kf_pose)   # one device fetch
         anchors = {fid: (ref, rel) for fid, ref, rel in self._frame_anchors}
+        out = []
         for fid, live in self.trajectory:
             if fid in anchors:
                 ref, rel = anchors[fid]
-                p = np.asarray(
-                    se2.compose(jnp.asarray(kf_pose[ref]), jnp.asarray(rel))
+                a = kf_pose[ref]
+                c, s = np.cos(a[2]), np.sin(a[2])
+                th = a[2] + rel[2]
+                p = (
+                    a[0] + c * rel[0] - s * rel[1],
+                    a[1] + s * rel[0] + c * rel[1],
+                    np.arctan2(np.sin(th), np.cos(th)),
                 )
             else:
                 p = live                  # first frame(s): origin gauge
