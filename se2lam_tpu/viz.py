@@ -77,6 +77,15 @@ def plot_map(path: str, ms, title: str = "map"):
     ax.grid(True, alpha=0.3)
     ax.legend(loc="best")
     ax.set_title(title)
+    # bound the view to the trajectory extent: a handful of bad-geometry
+    # map points (awaiting culling) would otherwise stretch the autoscale
+    # by orders of magnitude
+    if len(ks):
+        x0, x1 = kf[ks, 0].min(), kf[ks, 0].max()
+        y0, y1 = kf[ks, 1].min(), kf[ks, 1].max()
+        mx = max(x1 - x0, y1 - y0, 1.0)
+        ax.set_xlim(x0 - 0.6 * mx, x1 + 0.6 * mx)
+        ax.set_ylim(y0 - 0.6 * mx, y1 + 0.6 * mx)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
 
