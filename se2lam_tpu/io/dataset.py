@@ -15,9 +15,16 @@ __all__ = ["DatasetRoom"]
 
 
 class DatasetRoom:
-    """Iterator over (gray_image float32 (H,W), odo (3,) float32) pairs."""
+    """Iterator over (gray_image float32 (H,W), odo (3,) float32) pairs.
 
-    def __init__(self, root: str, start: int = 0, count: int | None = None):
+    By default frames are decoded by the native C++ worker pool
+    (``io.native_loader``) — decode and file IO run off the Python thread
+    while the device pipeline consumes — falling back to PIL when no
+    toolchain is available.
+    """
+
+    def __init__(self, root: str, start: int = 0, count: int | None = None,
+                 use_native: bool | None = None):
         self.root = root
         odo_path = os.path.join(root, "odo_raw.txt")
         rows = []
@@ -30,6 +37,11 @@ class DatasetRoom:
         n = len(self.odo) - start
         self.start = start
         self.count = n if count is None else min(count, n)
+        if use_native is None:
+            from .native_loader import native_available
+
+            use_native = native_available()
+        self.use_native = use_native
 
     def __len__(self):
         return self.count
@@ -37,7 +49,22 @@ class DatasetRoom:
     def image_path(self, i: int) -> str:
         return os.path.join(self.root, "image", f"{i}.bmp")
 
+    def _iter_native(self):
+        from .native_loader import NativePrefetcher
+
+        pf = NativePrefetcher(
+            os.path.join(self.root, "image"), self.start, self.count
+        )
+        try:
+            for i, img in zip(range(self.start, self.start + self.count), pf):
+                yield img, self.odo[i]
+        finally:
+            pf.close()
+
     def __iter__(self):
+        if self.use_native:
+            yield from self._iter_native()
+            return
         from PIL import Image
 
         for i in range(self.start, self.start + self.count):

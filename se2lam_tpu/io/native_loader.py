@@ -1,0 +1,145 @@
+"""ctypes bindings for the native (C++) dataset loader.
+
+The reference's feed path is C++ (test_vn's imread loop,
+test/test_vn.cpp:43-55); here image decode + file IO run in a native
+worker pool off the Python thread (``native/se2lam_native.cpp``), so the
+host loop only pops finished float32 frames while the device pipeline
+runs. The library is compiled on demand with g++ and cached; callers
+fall back to the PIL path when no toolchain is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = ["native_available", "NativePrefetcher", "decode_bmp"]
+
+_LIB = None
+_TRIED = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(_repo_root(), "native", "se2lam_native.cpp")
+    if not os.path.exists(src):
+        return None
+    cache = os.path.join(
+        tempfile.gettempdir(), "se2lam_native_cache"
+    )
+    os.makedirs(cache, exist_ok=True)
+    lib_path = os.path.join(cache, "libse2lam_native.so")
+    if not os.path.exists(lib_path) or (
+        os.path.getmtime(lib_path) < os.path.getmtime(src)
+    ):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                 "-o", lib_path, src, "-lpthread"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    lib.dl_open.restype = ctypes.c_void_p
+    lib.dl_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.dl_next.restype = ctypes.c_int64
+    lib.dl_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    lib.dl_close.argtypes = [ctypes.c_void_p]
+    lib.dl_decode_bmp.restype = ctypes.c_int64
+    lib.dl_decode_bmp.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
+    _LIB = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _build_and_load() is not None
+
+
+def decode_bmp(path: str, max_pixels: int = 1 << 24) -> np.ndarray | None:
+    """Synchronous native BMP decode → float32 grayscale, or None."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    buf = np.empty(max_pixels, np.float32)
+    hw = lib.dl_decode_bmp(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_pixels,
+    )
+    if hw <= 0:
+        return None
+    h, w = int(hw >> 32), int(hw & 0xFFFFFFFF)
+    return buf[: h * w].reshape(h, w).copy()
+
+
+class NativePrefetcher:
+    """Iterator over <dir>/<i>.bmp frames decoded by a native worker pool.
+
+    Frames arrive in order; a bounded ring keeps ``ring_cap`` frames
+    decoded ahead of the consumer.
+    """
+
+    def __init__(self, image_dir: str, start: int, count: int,
+                 threads: int = 2, ring_cap: int = 8,
+                 max_pixels: int = 1 << 24):
+        lib = _build_and_load()
+        if lib is None:
+            raise RuntimeError("native loader unavailable (no g++?)")
+        self._lib = lib
+        self._h = lib.dl_open(
+            image_dir.encode(), start, count, threads, ring_cap
+        )
+        self._buf = np.empty(max_pixels, np.float32)
+        self._max = max_pixels
+        self._closed = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        if self._closed:
+            raise StopIteration
+        hw = self._lib.dl_next(
+            self._h,
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._max,
+        )
+        if hw == -1:
+            self.close()
+            raise StopIteration
+        if hw == 0:
+            self.close()
+            raise RuntimeError("native BMP decode failed")
+        h, w = int(hw >> 32), int(hw & 0xFFFFFFFF)
+        return self._buf[: h * w].reshape(h, w).copy()
+
+    def close(self):
+        if not self._closed:
+            self._lib.dl_close(self._h)
+            self._closed = True
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
