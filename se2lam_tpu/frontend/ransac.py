@@ -52,9 +52,11 @@ def _min_eigvec(M, iters: int = 3):
     The shift ε is scaled to the matrix magnitude to keep the solve
     well-posed near an exact nullspace.
     """
+    from ..ops.linalg import inv_psd_small
+
     n = M.shape[-1]
     scale = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None] / n
-    Minv = jnp.linalg.inv(
+    Minv = inv_psd_small(
         M + 1e-9 * scale * jnp.eye(n, dtype=M.dtype)
         + 1e-30 * jnp.eye(n, dtype=M.dtype)
     )
@@ -96,7 +98,9 @@ def _sampson(F, p1, p2):
     Ftx2 = x2 @ F       # (N,3) = Fᵀ·x2
     num = jnp.sum(x2 * Fx1, axis=-1) ** 2
     den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
-    return num / jnp.maximum(den, 1e-12)
+    # a (near-)zero F makes 0/0: such a degenerate hypothesis must reject
+    # every point, not accept it
+    return jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), jnp.inf)
 
 
 def ransac_fundamental(
