@@ -91,7 +91,11 @@ class SyntheticWorld:
     # -- rendering --
 
     def render(self, pose) -> np.ndarray:
-        """Render one grayscale frame (H, W) float32 at an SE(2) body pose."""
+        """Render one grayscale frame (H, W) float32 at an SE(2) body pose.
+
+        Applies the config's radial-tangential distortion to the projected
+        positions, so runs with ``cfg.dist != 0`` exercise the keypoint
+        undistortion path end-to-end."""
         cfg = self.cfg
         H, W = cfg.height, cfg.width
         Twb = _se2_mat(pose)
@@ -99,8 +103,17 @@ class SyntheticWorld:
         pc = (Tcw[:3, :3] @ self.landmarks.T).T + Tcw[:3, 3]
         z = pc[:, 2]
         vis = z > 0.3
-        u = cfg.fx * pc[:, 0] / np.where(vis, z, 1.0) + cfg.cx
-        v = cfg.fy * pc[:, 1] / np.where(vis, z, 1.0) + cfg.cy
+        xn = pc[:, 0] / np.where(vis, z, 1.0)
+        yn = pc[:, 1] / np.where(vis, z, 1.0)
+        k1, k2, p1, p2, k3 = (list(cfg.dist) + [0.0] * 5)[:5]
+        if any(abs(d) > 0 for d in (k1, k2, p1, p2, k3)):
+            r2 = xn * xn + yn * yn
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+            xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+            yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+            xn, yn = xd, yd
+        u = cfg.fx * xn + cfg.cx
+        v = cfg.fy * yn + cfg.cy
         p = self.patch
         r = p // 2
         vis &= (u >= r + 1) & (u < W - r - 1) & (v >= r + 1) & (v < H - r - 1)
