@@ -65,22 +65,29 @@ bool decode_bmp_gray(const std::string& path, Image* out) {
   const bool flip = ih.height > 0;
   const int h = flip ? ih.height : -ih.height;
   const int bpp = ih.bit_count;
-  if (w <= 0 || h <= 0 || (bpp != 8 && bpp != 24 && bpp != 32)) {
+  // bound header-declared sizes: a malformed file must fail decode, not
+  // throw bad_alloc through the extern-C boundary / a worker thread
+  constexpr int64_t kMaxPixels = int64_t(1) << 26;  // 64 Mpix
+  if (w <= 0 || h <= 0 || (int64_t)w * h > kMaxPixels ||
+      (bpp != 8 && bpp != 24 && bpp != 32)) {
     std::fclose(f);
     return false;
   }
 
-  // palette for 8-bit (grayscale value = luma of the palette entry)
+  // palette for 8-bit (grayscale value = luma of the palette entry).
+  // Always 256 entries: pixel bytes index the full range even when the
+  // file declares fewer colors (legal truncated palettes).
   std::vector<float> palette;
   if (bpp == 8) {
     uint32_t n = ih.clr_used ? ih.clr_used : 256;
+    if (n > 256) n = 256;
     std::vector<uint8_t> pal(n * 4);
     std::fseek(f, sizeof fh + ih.size, SEEK_SET);
     if (std::fread(pal.data(), 4, n, f) != n) {
       std::fclose(f);
       return false;
     }
-    palette.resize(n);
+    palette.assign(256, 0.0f);
     for (uint32_t i = 0; i < n; ++i) {
       palette[i] = 0.114f * pal[4 * i] + 0.587f * pal[4 * i + 1] +
                    0.299f * pal[4 * i + 2];
@@ -149,7 +156,11 @@ struct Loader {
       img.index = idx;
       char path[4096];
       std::snprintf(path, sizeof path, "%s/%d.bmp", dir.c_str(), idx);
-      decode_bmp_gray(path, &img);
+      try {
+        decode_bmp_gray(path, &img);
+      } catch (...) {
+        img.ok = false;  // decode failure, not process abort
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
         ring.push_back(std::move(img));
@@ -215,12 +226,16 @@ void dl_close(void* h) { delete static_cast<Loader*>(h); }
 
 // one-shot synchronous decode (no threads)
 int64_t dl_decode_bmp(const char* path, float* out, int64_t cap_elems) {
-  Image im;
-  if (!decode_bmp_gray(path, &im)) return 0;
-  const int64_t n = (int64_t)im.h * im.w;
-  if (n > cap_elems) return 0;
-  std::memcpy(out, im.pix.data(), n * sizeof(float));
-  return ((int64_t)im.h << 32) | (uint32_t)im.w;
+  try {
+    Image im;
+    if (!decode_bmp_gray(path, &im)) return 0;
+    const int64_t n = (int64_t)im.h * im.w;
+    if (n > cap_elems) return 0;
+    std::memcpy(out, im.pix.data(), n * sizeof(float));
+    return ((int64_t)im.h << 32) | (uint32_t)im.w;
+  } catch (...) {
+    return 0;
+  }
 }
 
 }  // extern "C"

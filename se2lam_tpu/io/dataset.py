@@ -50,13 +50,26 @@ class DatasetRoom:
         return os.path.join(self.root, "image", f"{i}.bmp")
 
     def _iter_native(self):
-        from .native_loader import NativePrefetcher
+        from .native_loader import NativeDecodeError, NativePrefetcher
 
         pf = NativePrefetcher(
             os.path.join(self.root, "image"), self.start, self.count
         )
         try:
-            for i, img in zip(range(self.start, self.start + self.count), pf):
+            for i in range(self.start, self.start + self.count):
+                try:
+                    img = next(pf)
+                except NativeDecodeError:
+                    # BMP variant the native decoder doesn't handle (RLE,
+                    # 1/4/16-bit): PIL decodes just this frame
+                    from PIL import Image
+
+                    img = np.asarray(
+                        Image.open(self.image_path(i)).convert("L"),
+                        np.float32,
+                    )
+                except StopIteration:
+                    return
                 yield img, self.odo[i]
         finally:
             pf.close()

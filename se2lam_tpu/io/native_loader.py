@@ -16,7 +16,19 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["native_available", "NativePrefetcher", "decode_bmp"]
+__all__ = [
+    "native_available", "NativePrefetcher", "NativeDecodeError", "decode_bmp",
+]
+
+
+class NativeDecodeError(RuntimeError):
+    """One frame failed native decode (e.g. an RLE/1-bit BMP variant the
+    native decoder doesn't handle); carries the frame index so callers
+    can fall back to PIL for that file and continue the stream."""
+
+    def __init__(self, index: int):
+        super().__init__(f"native BMP decode failed for frame {index}")
+        self.index = index
 
 _LIB = None
 _TRIED = False
@@ -34,20 +46,29 @@ def _build_and_load():
     src = os.path.join(_repo_root(), "native", "se2lam_native.cpp")
     if not os.path.exists(src):
         return None
-    cache = os.path.join(
-        tempfile.gettempdir(), "se2lam_native_cache"
+    # per-user cache (0700) — a world-shared /tmp path would let another
+    # local user plant a library; compile to a temp name + atomic replace
+    # so concurrent processes never load a half-written .so
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
     )
-    os.makedirs(cache, exist_ok=True)
+    cache = os.path.join(base, "se2lam_native")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
     lib_path = os.path.join(cache, "libse2lam_native.so")
     if not os.path.exists(lib_path) or (
         os.path.getmtime(lib_path) < os.path.getmtime(src)
     ):
         try:
+            fd, tmp_path = tempfile.mkstemp(
+                suffix=".so", dir=cache
+            )
+            os.close(fd)
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                 "-o", lib_path, src, "-lpthread"],
+                 "-o", tmp_path, src, "-lpthread"],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp_path, lib_path)
         except (OSError, subprocess.SubprocessError):
             return None
     try:
@@ -76,15 +97,25 @@ def native_available() -> bool:
     return _build_and_load() is not None
 
 
+_DECODE_BUF: np.ndarray | None = None
+
+
 def decode_bmp(path: str, max_pixels: int = 1 << 24) -> np.ndarray | None:
-    """Synchronous native BMP decode → float32 grayscale, or None."""
+    """Synchronous native BMP decode → float32 grayscale, or None.
+
+    Reuses one module-level scratch buffer (a fresh 64 MB allocation per
+    call would dominate small-frame decodes). Not thread-safe; the
+    threaded path is NativePrefetcher, which owns its buffer."""
     lib = _build_and_load()
     if lib is None:
         return None
-    buf = np.empty(max_pixels, np.float32)
+    global _DECODE_BUF
+    if _DECODE_BUF is None or _DECODE_BUF.size < max_pixels:
+        _DECODE_BUF = np.empty(max_pixels, np.float32)
+    buf = _DECODE_BUF
     hw = lib.dl_decode_bmp(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        max_pixels,
+        buf.size,
     )
     if hw <= 0:
         return None
@@ -112,6 +143,7 @@ class NativePrefetcher:
         self._buf = np.empty(max_pixels, np.float32)
         self._max = max_pixels
         self._closed = False
+        self._next_index = start
 
     def __iter__(self):
         return self
@@ -127,9 +159,11 @@ class NativePrefetcher:
         if hw == -1:
             self.close()
             raise StopIteration
+        idx = self._next_index
+        self._next_index += 1
         if hw == 0:
-            self.close()
-            raise RuntimeError("native BMP decode failed")
+            # this frame failed; the ring continues with the next one
+            raise NativeDecodeError(idx)
         h, w = int(hw >> 32), int(hw & 0xFFFFFFFF)
         return self._buf[: h * w].reshape(h, w).copy()
 

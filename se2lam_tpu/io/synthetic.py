@@ -105,13 +105,18 @@ class SyntheticWorld:
         vis = z > 0.3
         xn = pc[:, 0] / np.where(vis, z, 1.0)
         yn = pc[:, 1] / np.where(vis, z, 1.0)
-        k1, k2, p1, p2, k3 = (list(cfg.dist) + [0.0] * 5)[:5]
-        if any(abs(d) > 0 for d in (k1, k2, p1, p2, k3)):
-            r2 = xn * xn + yn * yn
-            radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
-            xd = xn * radial + 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
-            yd = yn * radial + p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
-            xn, yn = xd, yd
+        if any(abs(d) > 0 for d in cfg.dist):
+            # the SAME model the system inverts (ops/camera.py) — a
+            # re-implementation here could silently drift from it
+            from ..ops.camera import CameraModel, distort_normalized
+
+            cam = CameraModel.create(
+                cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist
+            )
+            xy = np.asarray(
+                distort_normalized(cam, np.stack([xn, yn], -1))
+            )
+            xn, yn = xy[:, 0], xy[:, 1]
         u = cfg.fx * xn + cfg.cx
         v = cfg.fy * yn + cfg.cy
         p = self.patch

@@ -22,22 +22,20 @@ def inv_psd_small(M, eps: float = 1e-30):
     while ``jnp.linalg.inv`` lowers to a batched LU custom-call that
     dominates profiles (e.g. RANSAC's inverse iteration).
     """
-    import jax.numpy as _jnp
-
     n = M.shape[-1]
     A = M
-    I = _jnp.broadcast_to(_jnp.eye(n, dtype=M.dtype), M.shape).copy()
+    I = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape).copy()
     for k in range(n):
         piv = A[..., k, k]
-        piv = _jnp.where(_jnp.abs(piv) < eps, eps, piv)
+        piv = jnp.where(jnp.abs(piv) < eps, eps, piv)
         inv_piv = (1.0 / piv)[..., None]
         row_a = A[..., k, :] * inv_piv
         row_i = I[..., k, :] * inv_piv
         A = A.at[..., k, :].set(row_a)
         I = I.at[..., k, :].set(row_i)
         col = A[..., :, k]
-        mask = _jnp.arange(n) != k
-        factor = _jnp.where(mask, col, 0.0)[..., :, None]
+        mask = jnp.arange(n) != k
+        factor = jnp.where(mask, col, 0.0)[..., :, None]
         A = A - factor * row_a[..., None, :]
         I = I - factor * row_i[..., None, :]
     return I

@@ -63,6 +63,66 @@ def test_prefetcher_order_and_completion(bmp_dataset):
         assert np.abs(g - ref).max() <= 1.0 + 1e-4
 
 
+def test_malformed_bmp_fails_cleanly(tmp_path):
+    """Hostile headers must fail decode, not abort the process: giant
+    declared dimensions (bad_alloc path) and a truncated palette with
+    out-of-range pixel indices (heap OOB path)."""
+    import struct
+
+    # 2^30 x 2^30 declared dimensions
+    giant = tmp_path / "giant.bmp"
+    info = struct.pack("<IiiHHIIiiII", 40, 1 << 30, 1 << 30, 1, 24,
+                       0, 0, 0, 0, 0, 0)
+    header = struct.pack("<HIHHI", 0x4D42, 54, 0, 0, 54)
+    giant.write_bytes(header + info + b"\x00" * 64)
+    assert decode_bmp(str(giant)) is None
+
+    # 8-bit with clr_used=4 but pixel values up to 255
+    trunc = tmp_path / "trunc.bmp"
+    w = h = 8
+    stride = (w + 3) & ~3
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, 0, 0, 0, 4, 0)
+    pal = struct.pack("<4B", 10, 10, 10, 0) * 4
+    off = 14 + 40 + len(pal)
+    header = struct.pack("<HIHHI", 0x4D42, off + stride * h, 0, 0, off)
+    rows = bytes([255, 200, 3, 0, 1, 2, 3, 2]) * h
+    # pad rows to stride
+    body = b"".join(
+        rows[r * w : (r + 1) * w] + b"\x00" * (stride - w) for r in range(h)
+    )
+    trunc.write_bytes(header + info + pal + body)
+    img = decode_bmp(str(trunc))
+    # decodes without crashing; out-of-palette indices read as 0 (black)
+    assert img is not None and img.shape == (h, w)
+    assert np.isfinite(img).all()
+    assert img.max() <= 255.0
+
+
+def test_decode_failure_falls_back_to_pil(bmp_dataset, tmp_path):
+    """A frame the native decoder rejects must be served by PIL, not
+    abort the dataset stream."""
+    import shutil
+    from PIL import Image
+
+    root_src, imgs, odo = bmp_dataset
+    root = tmp_path / "DatasetRoom"
+    shutil.copytree(root_src, root)
+    # overwrite frame 2 with an RLE8-compressed BMP (unsupported natively)
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, imgs[2].shape).astype(np.uint8)
+    # PIL can't write RLE; emulate an unsupported variant with a 4-bit BMP
+    Image.fromarray(arr, mode="L").convert("P").quantize(colors=16).save(
+        root / "image" / "2.bmp", bits=4
+    )
+    ref2 = np.asarray(
+        Image.open(root / "image" / "2.bmp").convert("L"), np.float32
+    )
+    ds = DatasetRoom(str(root), use_native=True)
+    out = list(ds)
+    assert len(out) == len(imgs)
+    np.testing.assert_allclose(out[2][0], ref2)
+
+
 def test_dataset_room_native_path(bmp_dataset):
     root, imgs, odo = bmp_dataset
     ds = DatasetRoom(str(root), use_native=True)
