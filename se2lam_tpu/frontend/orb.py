@@ -47,6 +47,10 @@ class OrbConfig(NamedTuple):
     edge: int = 16            # EDGE_THRESHOLD border exclusion
     features_per_cell: int = 3  # grid density (reference uses ~5/cell; a
     #                             finer grid pairs with per-cell argmax)
+    use_harris: bool = False  # rescore responses with Harris (the
+    #                           reference's optional HarrisResponses,
+    #                           src/ORBextractor.cpp:85-126; selection
+    #                           stays FAST-ordered either way)
 
     @property
     def scales(self):
@@ -207,6 +211,37 @@ def _pattern_bank():
 
 
 _PATTERN_BANK = _pattern_bank()
+
+
+def _harris_response(img, ys, xs, k: float = 0.04, block: int = 7):
+    """Harris corner response at keypoint positions (the reference's
+    optional HarrisResponses rescoring, src/ORBextractor.cpp:85-126).
+
+    Dense central-difference gradients, a separable ``block``-wide box
+    sum of the second-moment products (static shifted adds — same trick
+    as the blur), then a gather at the keypoints."""
+    H, W = img.shape
+    gx = jnp.zeros_like(img).at[:, 1:-1].set(
+        0.5 * (img[:, 2:] - img[:, :-2])
+    )
+    gy = jnp.zeros_like(img).at[1:-1, :].set(
+        0.5 * (img[2:, :] - img[:-2, :])
+    )
+
+    r = block // 2
+
+    def box(x):
+        ph = jnp.pad(x, ((0, 0), (r, r)))
+        s = sum(ph[:, i : i + W] for i in range(block))
+        pv = jnp.pad(s, ((r, r), (0, 0)))
+        return sum(pv[i : i + H] for i in range(block))
+
+    scale = 1.0 / (4.0 * block * 255.0)   # the reference's 1/(4·blockSize·255)
+    a = box(gx * gx) * (scale * scale)
+    b = box(gy * gy) * (scale * scale)
+    c = box(gx * gy) * (scale * scale)
+    R = (a * b - c * c) - k * (a + b) * (a + b)
+    return R[ys, xs]
 
 
 def _extract_patches(img, ys, xs):
@@ -414,6 +449,9 @@ def make_extractor(cfg: OrbConfig):
             m10 = moments[0][ys, xs]
             m01 = moments[1][ys, xs]
             angle = jnp.arctan2(m01, m10)
+
+            if cfg.use_harris:
+                resp = _harris_response(level_img, ys, xs)
 
             # steered BRIEF on the blurred level image (matmul
             # formulation — see _brief_bits)

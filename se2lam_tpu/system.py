@@ -11,6 +11,7 @@ reference's split-feed API shape.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -79,6 +80,7 @@ class SlamSystem:
         self._pending_odo = None
         self._pending_img = None
         self._resume_pending = False
+        self._finished = False
 
     @classmethod
     def resume(cls, cfg: SystemConfig, map_path: str,
@@ -396,6 +398,49 @@ class SlamSystem:
         with open(path, "w") as f:
             for fid, p in self.trajectory:
                 f.write(f"{fid},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f}\n")
+
+    # -- reference-named compatibility surface (OdoSLAM public API,
+    #    include/se2lam/OdoSLAM.h:27-59) --
+
+    def receive_odo_data(self, x, y, theta, _timestamp=None):
+        """OdoSLAM::receiveOdoData."""
+        self.receive_odo(x, y, theta)
+
+    def receive_img_data(self, img, _timestamp=None):
+        """OdoSLAM::receiveImgData."""
+        self.receive_img(img)
+
+    def get_current_vehicle_pose(self) -> np.ndarray:
+        """OdoSLAM::getCurrentVehiclePose — body pose (x, y, theta)."""
+        return self.current_pose()
+
+    def request_finish(self):
+        """OdoSLAM::requestFinish. The pipeline is synchronous — there
+        are no threads to signal — so this only marks the session done."""
+        self._finished = True
+
+    def wait_for_finish(self):
+        """OdoSLAM::waitForFinish — immediate in the synchronous design."""
+        self._finished = True
+
+    def save_map(self, path: str, with_vocab: bool = True):
+        """OdoSLAM's shutdown save (SAVE_NEW_MAP + the KF-trajectory
+        dump, src/OdoSLAM.cpp:192-215): map checkpoint + trajectory txt."""
+        from .io.mapstorage import save_map as _save
+
+        vocab = self._loop_closer.vocab if self._loop_closer else None
+        if vocab is None and with_vocab and self.n_keyframes() >= 2:
+            from .vocab import train_vocab
+
+            desc = self.ms.kf_desc.reshape(-1, 256)
+            valid = (
+                self.ms.kf_feat_valid & self.ms.kf_valid[:, None]
+            ).reshape(-1)
+            vocab = train_vocab(desc, valid, n_words=512, iters=5)
+        _save(path, self.ms, vocab)
+        self.save_kf_trajectory(
+            os.path.join(path, "se2lam_kf_trajectory.txt")
+        )
 
     def n_keyframes(self) -> int:
         return int(self.ms.n_kf)

@@ -107,6 +107,34 @@ def test_loop_closes_on_revisit():
     assert np.isfinite(np.asarray(slam.ms.kf_pose)).all()
 
 
+def test_reference_named_api(run_result, tmp_path):
+    """The OdoSLAM-named compatibility surface must exist and work
+    (include/se2lam/OdoSLAM.h:27-59)."""
+    slam, world, n = run_result
+    p = slam.get_current_vehicle_pose()
+    assert p.shape == (3,)
+    slam.request_finish()
+    slam.wait_for_finish()
+    out = tmp_path / "saved"
+    slam.save_map(str(out))
+    from se2lam_tpu.io import load_map, load_trajectory
+
+    ms, vocab, info = load_map(str(out))
+    assert info["n_kf"] == slam.n_keyframes()
+    assert vocab is not None           # trained at save time
+    rows = load_trajectory(str(out / "se2lam_kf_trajectory.txt"))
+    assert rows.shape[0] >= 1
+
+    # split-feed aliases
+    from se2lam_tpu.system import SlamSystem
+
+    s2 = SlamSystem(slam.cfg, enable_loops=False)
+    img, odo = next(iter(world.sequence(1)))
+    s2.receive_odo_data(*odo)
+    s2.receive_img_data(img)
+    assert s2.frame_id == 1
+
+
 def test_corrected_trajectory(run_result):
     """Retro-corrected per-frame poses re-anchor on the CURRENT keyframe
     estimates: at each keyframe's own frame the corrected pose must equal
