@@ -8,3 +8,23 @@ fixed-capacity device arrays instead of threads over a pointer graph.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level exports: importing the package stays cheap (no jax
+    # backend touch) until a symbol is actually used
+    _lazy = {
+        "SlamSystem": ("se2lam_tpu.system", "SlamSystem"),
+        "Localizer": ("se2lam_tpu.localizer", "Localizer"),
+        "SystemConfig": ("se2lam_tpu.config", "SystemConfig"),
+        "Capacity": ("se2lam_tpu.config", "Capacity"),
+        "MapState": ("se2lam_tpu.mapstate", "MapState"),
+        "empty_map": ("se2lam_tpu.mapstate", "empty_map"),
+        "LoopCloser": ("se2lam_tpu.loopclose", "LoopCloser"),
+    }
+    if name in _lazy:
+        import importlib
+
+        mod, attr = _lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'se2lam_tpu' has no attribute {name!r}")
