@@ -81,11 +81,27 @@ def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key):
         key, f_kf.xy, feats.xy[jnp.clip(midx, 0)], matched,
         n_trials=128, thresh_px=3.0, min_inliers=10,
     )
-    inl = jnp.where(fr.inliers, midx, -1)
+    # zero-baseline degeneracy: querying from (nearly) the mapped
+    # viewpoint gives identical correspondences, which determine NO
+    # fundamental matrix — RANSAC rightly fails. When the matched
+    # displacements are tiny the view is near-identical and the
+    # descriptor matches are trustworthy as-is; the pose-only solve's
+    # chi2 inlier count downstream remains the final judge.
+    disp = jnp.linalg.norm(
+        feats.xy[jnp.clip(midx, 0)] - f_kf.xy, axis=-1
+    )
+    disp_sorted = jnp.sort(jnp.where(matched, disp, jnp.inf))
+    n_matched = jnp.sum(matched.astype(jnp.int32))
+    med = disp_sorted[jnp.clip(n_matched // 2, 0, disp.shape[0] - 1)]
+    near_identical = (med < 2.0) & (n_matched >= 20)
+    inliers = jnp.where(near_identical, matched, fr.inliers)
+    n_in = jnp.where(near_identical, n_matched, fr.n_inliers)
+
+    inl = jnp.where(inliers, midx, -1)
     mp = ms.kf_obs_mp[cand]
     pair = (inl >= 0) & (mp >= 0) & ms.mp_valid[jnp.clip(mp, 0)]
     uv = feats.xy[jnp.clip(inl, 0)]
-    return fr.n_inliers, jnp.clip(mp, 0), uv, pair
+    return n_in, jnp.clip(mp, 0), uv, pair
 
 
 class Localizer:
@@ -212,9 +228,20 @@ class Localizer:
         scores = jnp.where(
             self.ms.kf_valid, vocab_mod.bow_score(self.bank, v), -jnp.inf
         )
-        cand = int(jnp.argmax(scores))
-        if float(scores[cand]) < self.reloc_min_score:
-            return None
+        # try the top-scoring candidates in order: the single best BoW hit
+        # can be a sparse early keyframe with too few map points even when
+        # a close runner-up verifies fine
+        top_scores, top_cands = jax.lax.top_k(scores, min(3, scores.shape[0]))
+        for j in range(top_scores.shape[0]):
+            cand = int(top_cands[j])
+            if float(top_scores[j]) < self.reloc_min_score:
+                break
+            pose = self._relocalize_at(cand, feats)
+            if pose is not None:
+                return pose
+        return None
+
+    def _relocalize_at(self, cand: int, feats: OrbFeatures):
         self.key, sub = jax.random.split(self.key)
         n_in, mp_idx, uv, pair = _relocalize_verify(self.ms, cand, feats, sub)
         if int(n_in) < self.reloc_min_inliers:
