@@ -1,0 +1,27 @@
+"""Timing utility tests (the WorkTimer/StageTimer observability layer)."""
+import time
+
+from se2lam_tpu.utils import StageTimer, WorkTimer
+
+
+def test_work_timer():
+    t = WorkTimer()
+    time.sleep(0.01)
+    ms = t.stop()
+    assert 5.0 < ms < 1000.0
+    t.start()
+    assert t.stop() < ms
+
+
+def test_stage_timer_report():
+    st = StageTimer()
+    for _ in range(3):
+        with st.stage("alpha"):
+            time.sleep(0.002)
+    st.timed("beta", lambda: time.sleep(0.001))
+    rep = st.report()
+    assert "alpha" in rep and "beta" in rep
+    assert len(st.samples["alpha"]) == 3
+    assert len(st.samples["beta"]) == 1
+    st.reset()
+    assert not st.samples
