@@ -1,15 +1,27 @@
 #!/usr/bin/env python
-"""Multi-device scaling benchmark for the distributed local BA
+"""Multi-device scaling benchmark for the distributed solvers
 (BASELINE.md protocol item 3: scaling efficiency at N devices).
 
-Runs the observation-sharded Schur-GN solve at fixed problem size over
-growing mesh sizes and reports wall time + efficiency. On real multi-chip
-hardware this measures ICI scaling; on a virtual CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=8) it validates the
-mechanics only — flagged in the output.
+Benchmarks, at fixed problem size over growing mesh sizes:
+  - the map-block partitioned distributed local BA
+    (parallel.dist_ba: per-device point-block elimination + psum of
+    Schur-reduced camera systems), and
+  - the edge-sharded distributed pose graph
+    (parallel.dist_posegraph: matrix-free PCG, one (K,3) psum per
+    H·v apply).
+
+On real multi-chip hardware this measures ICI scaling; on a virtual CPU
+mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8) it validates
+the mechanics and the communication pattern only — flagged in the
+output (virtual devices share host cores, so CPU "efficiency" is a
+lower bound contaminated by core contention).
+
+Timing discipline (docs/DESIGN.md §9): inputs are perturbed per rep so
+no dispatch repeats, and results are blocked on every rep.
 
 Usage:
-    python examples/bench_scaling.py [--obs 65536] [--kfs 64] [--mps 2048]
+    python examples/bench_scaling.py [--obs 65536] [--kfs 64]
+        [--mps 2048] [--pg-kfs 1024] [--json out.json]
 """
 from __future__ import annotations
 
@@ -73,51 +85,125 @@ def make_problem(rng, K, M, O):
     return prob, cam, Tcb
 
 
+def make_pose_graph(rng, K, n_loops=16):
+    import jax
+    import jax.numpy as jnp
+
+    from se2lam_tpu.ops import se2
+    from se2lam_tpu.solver.posegraph import PoseGraphProblem
+
+    gt = np.cumsum(rng.normal(0.08, 0.02, (K, 3)).astype(np.float32), 0)
+    ei = list(range(K - 1))
+    ej = list(range(1, K))
+    for _ in range(n_loops):
+        a = int(rng.integers(0, K - 30))
+        b = int(rng.integers(a + 25, K))
+        ei.append(a)
+        ej.append(b)
+    ei = np.asarray(ei, np.int32)
+    ej = np.asarray(ej, np.int32)
+    meas = np.asarray(
+        jax.vmap(se2.minus)(jnp.asarray(gt)[ej], jnp.asarray(gt)[ei])
+    ) + rng.normal(0, 0.002, (len(ei), 3)).astype(np.float32)
+    noise = rng.normal(0, 0.03, gt.shape).astype(np.float32)
+    noise[0] = 0
+    return PoseGraphProblem(
+        poses=jnp.asarray(gt + noise),
+        pose_valid=jnp.ones(K, bool),
+        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        edge_meas=jnp.asarray(meas, jnp.float32),
+        edge_info=jnp.broadcast_to(
+            100.0 * jnp.eye(3, dtype=jnp.float32), (len(ei), 3, 3)
+        ),
+        edge_valid=jnp.ones(len(ei), bool),
+    )
+
+
+def bench(fn, perturb, reps=5):
+    """Median wall time of ``fn(r)`` with per-rep distinct inputs."""
+    import jax
+
+    jax.block_until_ready(fn(0))        # compile + warm
+    times = []
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(r))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--obs", type=int, default=65536)
     ap.add_argument("--kfs", type=int, default=64)
     ap.add_argument("--mps", type=int, default=2048)
+    ap.add_argument("--pg-kfs", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--cg-iters", type=int, default=128)
+    ap.add_argument("--json", type=str, default=None)
     args = ap.parse_args()
 
     import jax
 
-    from se2lam_tpu.parallel import make_mesh, sharded_solve_local_ba
+    from se2lam_tpu.parallel import (
+        dist_solve_pose_graph, make_mesh, sharded_solve_local_ba,
+    )
     from se2lam_tpu.solver import BAConfig
 
     devs = jax.devices()
     platform = devs[0].platform
-    print(f"# {len(devs)} {platform} devices"
-          + (" (virtual mesh — mechanics only, not real scaling)"
-             if platform == "cpu" else ""))
+    header = {
+        "devices_available": len(devs), "platform": platform,
+        "virtual": platform == "cpu",
+        "ba": {"K": args.kfs, "M": args.mps, "O": args.obs,
+               "iters": args.iters},
+        "pose_graph": {"K": args.pg_kfs, "iters": args.iters,
+                       "cg_iters": args.cg_iters},
+    }
+    print("#", json.dumps(header))
+    if platform == "cpu":
+        print("# virtual CPU mesh — validates mechanics/communication "
+              "pattern; devices share host cores")
 
     rng = np.random.default_rng(0)
     prob, cam, Tcb = make_problem(rng, args.kfs, args.mps, args.obs)
     cfg = BAConfig(iters=args.iters)
+    pg = make_pose_graph(rng, args.pg_kfs)
 
-    results = []
+    rows = []
     n = 1
     while n <= len(devs):
         mesh = make_mesh(n)
-        out = sharded_solve_local_ba(prob, cam, Tcb, cfg, mesh)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        reps = 3
-        for r in range(reps):
+
+        def ba_run(r):
             p2 = prob._replace(poses=prob.poses + r * 1e-6)
-            out = sharded_solve_local_ba(p2, cam, Tcb, cfg, mesh)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        results.append((n, dt))
-        base = results[0][1]
-        eff = base / (dt * n)
-        print(json.dumps({
-            "devices": n, "time_s": round(dt, 4),
-            "speedup": round(base / dt, 2),
-            "efficiency": round(eff, 3),
-        }))
+            return sharded_solve_local_ba(p2, cam, Tcb, cfg, mesh)[:2]
+
+        t_ba = bench(ba_run, prob)
+
+        def pg_run(r):
+            p2 = pg._replace(poses=pg.poses + r * 1e-6)
+            return dist_solve_pose_graph(
+                p2, mesh, iters=args.iters, cg_iters=args.cg_iters
+            )[0]
+
+        t_pg = bench(pg_run, pg)
+
+        rows.append({"devices": n, "ba_time_s": round(t_ba, 4),
+                     "pg_time_s": round(t_pg, 4)})
+        base_ba, base_pg = rows[0]["ba_time_s"], rows[0]["pg_time_s"]
+        rows[-1]["ba_speedup"] = round(base_ba / t_ba, 2)
+        rows[-1]["ba_efficiency"] = round(base_ba / (t_ba * n), 3)
+        rows[-1]["pg_speedup"] = round(base_pg / t_pg, 2)
+        rows[-1]["pg_efficiency"] = round(base_pg / (t_pg * n), 3)
+        print(json.dumps(rows[-1]))
         n *= 2
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"header": header, "rows": rows}, f, indent=1)
+        print(f"# wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -32,7 +32,9 @@ __all__ = [
 TH_LOW = 75.0
 TH_HIGH = 100.0
 HISTO_LENGTH = 30
-_BIG = jnp.float32(1e9)
+_BIG = 1e9  # plain float: a module-level jnp constant would
+#   initialize the JAX backend at import time, breaking
+#   jax.distributed.initialize (parallel/runtime.py)
 
 
 def hamming_matrix(pm1_a, pm1_b):

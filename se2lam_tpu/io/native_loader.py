@@ -54,6 +54,14 @@ def _build_and_load():
     )
     cache = os.path.join(base, "se2lam_native")
     os.makedirs(cache, mode=0o700, exist_ok=True)
+    # makedirs doesn't enforce the mode on a pre-existing directory:
+    # refuse a foreign-owned cache dir and strip group/other bits, so
+    # another local user can't plant a .so that we then dlopen
+    st = os.stat(cache)
+    if st.st_uid != os.getuid():
+        return None
+    if st.st_mode & 0o077:
+        os.chmod(cache, 0o700)
     lib_path = os.path.join(cache, "libse2lam_native.so")
     if not os.path.exists(lib_path) or (
         os.path.getmtime(lib_path) < os.path.getmtime(src)

@@ -391,8 +391,9 @@ def add_keyframe(
 # Keyframe pruning
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def prune_redundant_kf(ms: MapState, cur_kf, protect=-1):
+@partial(jax.jit, static_argnames=("cfg",))
+def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
+                       cfg: SystemConfig | None = None):
     """Remove at most one redundant keyframe per call
     (Map::pruneRedundantKF, src/Map.cpp:146-283; the reference loops ≤5
     rounds, the system shell does the same).
@@ -401,6 +402,12 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1):
     least 2 other keyframes. The pruned KF's two odometry edges are
     spliced into one composed preintegration; its observations are
     removed from every map point's list.
+
+    When ``cfg`` is given, map points anchored on the pruned KF also get
+    their scale statistics (mp_main_octave, mp_min/max_dist) recomputed
+    from the new main observation, so projection-matching distance/level
+    gates don't keep the dead anchor's values
+    (MapPoint::updateMainKFandDescriptor, src/MapPoint.cpp:276-289).
     """
     K, M, N = ms.K, ms.M, ms.N
     P = ms.mp_obs_kf.shape[1]
@@ -470,6 +477,27 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1):
     new_main_ft = jnp.where(was_main, obs_ft_new[:, 0], ms.mp_main_feat)
     alive = n_obs_new >= 2
 
+    # refresh the re-anchored points' scale statistics from the new main
+    # observation (stale gates would mis-gate projection matching)
+    main_oct_new = ms.mp_main_octave
+    min_d_new, max_d_new = ms.mp_min_dist, ms.mp_max_dist
+    if cfg is not None:
+        mk = jnp.clip(new_main_kf, 0)
+        mf = jnp.clip(new_main_ft, 0)
+        oct_at_new = ms.kf_octave[mk, mf]
+        Tcb = jnp.asarray(cfg.Tcb_mat, ms.kf_pose.dtype)
+        centers = jax.vmap(
+            lambda p: se3.inv(kf_Tcw(p, Tcb))[:3, 3]
+        )(ms.kf_pose)                                   # (K, 3)
+        dist = jnp.linalg.norm(ms.mp_pos - centers[mk], axis=-1)
+        md, xd = _octave_dist_gates(
+            oct_at_new, dist, cfg.scale_factor, cfg.max_level
+        )
+        refresh = was_main & (new_main_kf >= 0) & (new_main_ft >= 0)
+        main_oct_new = jnp.where(refresh, oct_at_new, main_oct_new)
+        min_d_new = jnp.where(refresh, md, min_d_new)
+        max_d_new = jnp.where(refresh, xd, max_d_new)
+
     # clear surviving keyframes' forward pointers at dead MPs
     # (the reference's MapPoint::setNull unlinks bidirectionally,
     # src/MapPoint.cpp; without this the dead slot blocks re-minting)
@@ -511,9 +539,9 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1):
         mp_normal=ms.mp_normal,
         mp_main_kf=new_main_kf,
         mp_main_feat=new_main_ft,
-        mp_main_octave=ms.mp_main_octave,
-        mp_min_dist=ms.mp_min_dist,
-        mp_max_dist=ms.mp_max_dist,
+        mp_main_octave=main_oct_new,
+        mp_min_dist=min_d_new,
+        mp_max_dist=max_d_new,
         mp_obs_kf=obs_kf_new,
         mp_obs_feat=obs_ft_new,
         mp_n_obs=n_obs_new,

@@ -343,10 +343,19 @@ def merge_loop_mps(ms: MapState, k, cand, match_idx):
         mp_normal=normals,
     )
 
-    # transfer the dead points' observation lists to the survivors
+    # transfer the dead points' observation lists to the survivors;
+    # skip entries whose KF already observes the survivor (both points
+    # seen by one KF at different features) — a duplicate would inflate
+    # mp_n_obs, which consumers read as an observer count (e.g. the
+    # prune redundancy score and local-graph observer masks)
     dead_c = jnp.clip(dead, 0, M - 1)
     for p in range(P):
-        src_ok = active & (p < ms.mp_n_obs[dead_c])
+        src_kf = ms.mp_obs_kf[dead_c, p]
+        dup = jnp.any(
+            ms.mp_obs_kf[jnp.clip(keep, 0, M - 1)] == src_kf[:, None],
+            axis=1,
+        )
+        src_ok = active & (p < ms.mp_n_obs[dead_c]) & ~dup
         slot = ms.mp_n_obs[jnp.clip(keep, 0, M - 1)]
         ok = src_ok & (slot < P)
         row = jnp.where(ok, keep, M)
@@ -451,6 +460,17 @@ class LoopCloser:
         self.n_loops_dropped = 0   # verified but constraint bank was full
         self.last_loop: tuple[int, int] | None = None
 
+    def adopt_vocab(self, vocab, ms: MapState):
+        """Install a vocabulary and backfill the BoW bank for every
+        existing keyframe (used at training time and when an externally
+        trained vocabulary — e.g. one saved with a map checkpoint — must
+        stay consistent with the in-session bank)."""
+        self.vocab = vocab
+        v, _ = jax.vmap(
+            lambda d, m: vocab_mod.bow_transform(vocab, d, m)
+        )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
+        self.bank = v
+
     def _ensure_vocab(self, ms: MapState):
         if self.vocab is not None:
             return True
@@ -462,14 +482,12 @@ class LoopCloser:
             ms.kf_feat_valid & ms.kf_valid[:, None]
         ).reshape(-1)
         self.key, sub = jax.random.split(self.key)
-        self.vocab = vocab_mod.train_vocab(
-            desc, valid, n_words=self.n_words, key=sub
+        self.adopt_vocab(
+            vocab_mod.train_vocab(
+                desc, valid, n_words=self.n_words, key=sub
+            ),
+            ms,
         )
-        # backfill the bank for all existing KFs
-        v, _ = jax.vmap(
-            lambda d, m: vocab_mod.bow_transform(self.vocab, d, m)
-        )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
-        self.bank = v
         return True
 
     def _maybe_feat_edge(self, ms: MapState, k: int) -> MapState:

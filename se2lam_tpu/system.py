@@ -117,16 +117,9 @@ class SlamSystem:
         slam = cls(cfg, enable_loops=enable_loops)
         slam.ms = ms
         if slam._loop_closer is not None:
-            slam._loop_closer.vocab = vocab
-            # rebuild the BoW bank for the loaded keyframes
-            import jax as _jax
-
-            from . import vocab as vocab_mod
-
-            bank, _ = _jax.vmap(
-                lambda d, m: vocab_mod.bow_transform(vocab, d, m)
-            )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
-            slam._loop_closer.bank = bank
+            # install the saved vocabulary + rebuild the BoW bank for the
+            # loaded keyframes
+            slam._loop_closer.adopt_vocab(vocab, ms)
         slam._resume_vocab = vocab
         slam._resume_pending = True
         # one Localizer for the whole relocalization phase — building it
@@ -301,7 +294,7 @@ class SlamSystem:
             # retro-correction anchors point at it, and a pruned KF's pose
             # freezes out of future BA/loop corrections
             self.ms, _kid = localmap.prune_redundant_kf(
-                self.ms, k, protect=self._ref_kf_host
+                self.ms, k, protect=self._ref_kf_host, cfg=cfg
             )
         self.timings["prune"] = time.perf_counter() - t0
 
@@ -437,6 +430,11 @@ class SlamSystem:
                 self.ms.kf_feat_valid & self.ms.kf_valid[:, None]
             ).reshape(-1)
             vocab = train_vocab(desc, valid, n_words=512, iters=5)
+            if self._loop_closer is not None:
+                # keep the in-session BoW state consistent with the
+                # checkpoint: a later loop closure must score against the
+                # same vocabulary the saved map will relocalize with
+                self._loop_closer.adopt_vocab(vocab, self.ms)
         _save(path, self.ms, vocab)
         self.save_kf_trajectory(
             os.path.join(path, "se2lam_kf_trajectory.txt")

@@ -1,12 +1,21 @@
 """Multi-device tests on the 8-way virtual CPU mesh (conftest forces
-XLA_FLAGS=--xla_force_host_platform_device_count=8): observation-sharded
-BA must match the single-device solve."""
+XLA_FLAGS=--xla_force_host_platform_device_count=8): the map-block
+partitioned distributed BA and the edge-sharded pose-graph PCG must
+match their single-device counterparts."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from se2lam_tpu.parallel import make_mesh, sharded_solve_local_ba
+from se2lam_tpu.ops import se2
+from se2lam_tpu.parallel import (
+    dist_solve_pose_graph,
+    make_mesh,
+    partition_points,
+    sharded_solve_local_ba,
+)
 from se2lam_tpu.solver import BAConfig, solve_local_ba
+from se2lam_tpu.solver.posegraph import PoseGraphProblem, solve_pose_graph
 
 from test_ba import body_to_cam, make_problem
 
@@ -15,21 +24,22 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) >= 8
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_ba_matches_single_device(rng, n_dev):
-    import jax.numpy as jnp
-
-    prob, cam, Tcb = make_problem(np.random.default_rng(0), K=8, M=48)
-    # perturb so the solve does real work
+def _perturbed_problem(K=8, M=48):
+    prob, cam, Tcb = make_problem(np.random.default_rng(0), K=K, M=M)
     pr = np.random.default_rng(1)
-    prob = prob._replace(
+    return prob._replace(
         poses=prob.poses + jnp.asarray(
             pr.normal(0, 0.02, prob.poses.shape), jnp.float32
         ) * (~prob.pose_fixed)[:, None],
         points=prob.points + jnp.asarray(
             pr.normal(0, 0.05, prob.points.shape), jnp.float32
         ),
-    )
+    ), cam, Tcb
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_ba_matches_single_device(rng, n_dev):
+    prob, cam, Tcb = _perturbed_problem()
     cfg = BAConfig(iters=6)
 
     p1, x1, info1 = solve_local_ba(prob, cam, Tcb, cfg)
@@ -37,8 +47,114 @@ def test_sharded_ba_matches_single_device(rng, n_dev):
     mesh = make_mesh(n_dev)
     p2, x2, info2 = sharded_solve_local_ba(prob, cam, Tcb, cfg, mesh)
 
+    assert int(info2["n_obs_dropped"]) == 0
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-3)
     np.testing.assert_allclose(
-        float(info1["chi2"]), float(info2["chi2"]), rtol=1e-3, atol=1e-5
+        float(info1["chi2"]), float(info2["chi2"]), rtol=1e-2, atol=1e-5
     )
+
+
+def test_partition_points_buckets_and_drops():
+    """Every surviving observation lands in the block owning its point,
+    with the point index rebased to the block; overflow is counted."""
+    prob, cam, Tcb = _perturbed_problem(K=4, M=16)
+    n = 4
+    O = prob.obs_kf.shape[0]
+    dp = partition_points(prob, n=n, obs_cap=max(1, O))  # no drops
+    assert int(dp.n_obs_dropped) == 0
+    Mb = dp.points.shape[0] // n
+    obs_kf = np.asarray(dp.obs_kf).reshape(n, -1)
+    obs_mp = np.asarray(dp.obs_mp).reshape(n, -1)
+    obs_uv = np.asarray(dp.obs_uv).reshape(n, -1, 2)
+    ok = np.asarray(dp.obs_valid).reshape(n, -1)
+    pts = np.asarray(dp.points)
+    # reconstruct the original (kf, global mp, uv) triples
+    orig = {
+        (int(k), int(m), round(float(u), 3))
+        for k, m, (u, v), valid in zip(
+            np.asarray(prob.obs_kf), np.asarray(prob.obs_mp),
+            np.asarray(prob.obs_uv), np.asarray(prob.obs_valid),
+        )
+        if valid
+    }
+    got = set()
+    for b in range(n):
+        for k, m, (u, v), valid in zip(
+            obs_kf[b], obs_mp[b], obs_uv[b], ok[b]
+        ):
+            if not valid:
+                continue
+            g = b * Mb + int(m)          # rebase to global
+            got.add((int(k), g, round(float(u), 3)))
+            np.testing.assert_allclose(
+                pts[g], np.asarray(prob.points)[g]
+            )
+    assert got == orig
+
+    # tight capacity → drops are counted, not silently lost
+    dp_tight = partition_points(prob, n=n, obs_cap=1)
+    n_valid = int(np.sum(np.asarray(prob.obs_valid)))
+    assert int(dp_tight.n_obs_dropped) == max(0, n_valid - n)
+
+
+def _make_pose_graph(K=64, n_loops=3, seed=0):
+    rng = np.random.default_rng(seed)
+    gt = np.cumsum(rng.normal(0.1, 0.05, (K, 3)).astype(np.float32), 0)
+    ei = list(range(K - 1))
+    ej = list(range(1, K))
+    loop_pairs = [(0, K - 20), (5, K - 8), (10, K - 1)][:n_loops]
+    for a, b in loop_pairs:
+        ei.append(a)
+        ej.append(b)
+    ei = np.asarray(ei, np.int32)
+    ej = np.asarray(ej, np.int32)
+    meas = np.stack(
+        [
+            np.asarray(se2.minus(jnp.asarray(gt[b]), jnp.asarray(gt[a])))
+            for a, b in zip(ei, ej)
+        ]
+    ) + rng.normal(0, 0.002, (len(ei), 3)).astype(np.float32)
+    E = len(ei)
+    noise = rng.normal(0, 0.05, gt.shape).astype(np.float32)
+    noise[0] = 0
+    return PoseGraphProblem(
+        poses=jnp.asarray(gt + noise),
+        pose_valid=jnp.ones(K, bool),
+        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_meas=jnp.asarray(meas, jnp.float32),
+        edge_info=jnp.broadcast_to(
+            100.0 * jnp.eye(3, dtype=jnp.float32), (E, 3, 3)
+        ),
+        edge_valid=jnp.ones(E, bool),
+    )
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_dist_pose_graph_matches_dense(n_dev):
+    prob = _make_pose_graph()
+    p1, info1 = solve_pose_graph(prob, iters=15)
+    mesh = make_mesh(n_dev)
+    p2, info2 = dist_solve_pose_graph(prob, mesh, iters=15, cg_iters=64)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+    np.testing.assert_allclose(
+        float(info1["chi2"]), float(info2["chi2"]), rtol=1e-3, atol=1e-8
+    )
+
+
+def test_dist_pose_graph_huber_matches_dense():
+    """With one gross outlier edge the robustified solves must also agree
+    (the global-BA path runs with huber_delta=3)."""
+    prob = _make_pose_graph()
+    bad = prob.edge_meas.at[-1].add(
+        jnp.asarray([1.0, -1.0, 0.5], jnp.float32)
+    )
+    prob = prob._replace(edge_meas=bad)
+    p1, _ = solve_pose_graph(prob, iters=15, huber_delta=3.0)
+    mesh = make_mesh(8)
+    p2, _ = dist_solve_pose_graph(
+        prob, mesh, iters=15, cg_iters=64, huber_delta=3.0
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
