@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--out", default="./slam_out")
     ap.add_argument("--no-loops", action="store_true")
+    ap.add_argument("--viz-every", type=int, default=0, metavar="N",
+                    help="emit frame-debug + map images every N keyframes "
+                         "and record per-BA chi2 logs (in-run observability)")
     ap.add_argument("--resume", metavar="MAP_DIR", default=None,
                     help="continue SLAM on a saved map (relocalizes the "
                          "first frame; the reference's USE_PREV_MAP)")
@@ -90,6 +93,8 @@ def main():
         print(f"resumed map with {slam.n_keyframes()} keyframes")
     else:
         slam = SlamSystem(cfg, enable_loops=not args.no_loops)
+    if args.viz_every > 0:
+        slam.enable_viz(os.path.join(args.out, "viz"), args.viz_every)
     t0 = time.perf_counter()
     n = 0
     for img, odo in feed:
@@ -103,6 +108,14 @@ def main():
     print(f"keyframes={slam.n_keyframes()} map_points={slam.n_map_points()}")
     if slam._loop_closer is not None:
         print(f"loops_closed={slam._loop_closer.n_loops_closed}")
+    if slam.ba_log:
+        import json
+
+        log_path = os.path.join(args.out, "ba_log.jsonl")
+        with open(log_path, "w") as f:
+            for rec in slam.ba_log:
+                f.write(json.dumps(rec) + "\n")
+        print(f"wrote {log_path} ({len(slam.ba_log)} BA records)")
 
     traj_path = os.path.join(args.out, "se2lam_kf_trajectory.txt")
     slam.save_kf_trajectory(traj_path)
@@ -113,9 +126,16 @@ def main():
         # train one now so the saved map supports relocalization
         from se2lam_tpu.vocab import train_vocab
 
+        import jax.numpy as jnp
+
+        K, N = slam.ms.K, slam.ms.N
         desc = slam.ms.kf_desc.reshape(-1, 256)
         valid = (slam.ms.kf_feat_valid & slam.ms.kf_valid[:, None]).reshape(-1)
-        vocab = train_vocab(desc, valid, n_words=512, iters=5)
+        vocab = train_vocab(
+            desc, valid, n_words=512, iters=5,
+            doc_ids=jnp.repeat(jnp.arange(K, dtype=jnp.int32), N),
+            n_docs_cap=K,
+        )
     save_map(os.path.join(args.out, "map"), slam.ms, vocab)
     print(f"wrote {os.path.join(args.out, 'map')}")
 

@@ -28,6 +28,7 @@ import numpy as np
 from . import vocab as vocab_mod
 from .config import SystemConfig
 from .frontend.matcher import match_by_projection, mutual_match
+from .frontend.pallas_match import match_by_projection_streamed
 from .frontend.orb import OrbConfig, OrbFeatures, make_extractor
 from .frontend.ransac import ransac_fundamental
 from .loopclose import kf_features
@@ -41,7 +42,12 @@ __all__ = ["Localizer"]
 
 
 def _project_and_match(ms: MapState, feats: OrbFeatures, pose, cfg: SystemConfig):
-    """Project all valid map points into the predicted view and match."""
+    """Project all valid map points into the predicted view and match.
+
+    On TPU the match against the FULL point bank streams through the
+    Pallas kernel (frontend.pallas_match) — no (M, N) distance/gate
+    intermediates in HBM; off-TPU the dense matcher runs (same accept
+    semantics, equivalence-tested in tests/test_pallas_match.py)."""
     dtype = ms.kf_pose.dtype
     Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
     Tcw = kf_Tcw(pose, Tcb)
@@ -54,7 +60,12 @@ def _project_and_match(ms: MapState, feats: OrbFeatures, pose, cfg: SystemConfig
         & (z > 0)
         & (u >= 0) & (u < cfg.width) & (v >= 0) & (v < cfg.height)
     )
-    feat_match, n = match_by_projection(
+    matcher = (
+        match_by_projection_streamed
+        if jax.default_backend() == "tpu"
+        else match_by_projection
+    )
+    feat_match, n = matcher(
         feats,
         jnp.stack([u, v], -1),
         ms.mp_main_octave,

@@ -393,15 +393,18 @@ def add_keyframe(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
-                       cfg: SystemConfig | None = None):
+                       cfg: SystemConfig | None = None,
+                       min_ratio=0.8):
     """Remove at most one redundant keyframe per call
     (Map::pruneRedundantKF, src/Map.cpp:146-283; the reference loops ≤5
     rounds, the system shell does the same).
 
-    A KF is redundant when ≥80% of its observed map points are seen by at
-    least 2 other keyframes. The pruned KF's two odometry edges are
-    spliced into one composed preintegration; its observations are
-    removed from every map point's list.
+    A KF is redundant when ≥``min_ratio`` (default 80%, src/Map.cpp:206)
+    of its observed map points are seen by at least 2 other keyframes.
+    The pruned KF's two odometry edges are spliced into one composed
+    preintegration; its observations are removed from every map point's
+    list. ``min_ratio`` may be lowered under capacity pressure (the
+    system shell's forced-prune response).
 
     When ``cfg`` is given, map points anchored on the pruned KF also get
     their scale statistics (mp_main_octave, mp_min/max_dist) recomputed
@@ -428,8 +431,10 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
           mode="drop")
     candidate = (
         ms.kf_valid
-        & (ratio >= 0.8)
-        & (n_mp_kf > 0)
+        & (ratio >= min_ratio)
+        # min_ratio <= 0 is the marginalize-oldest escape hatch (capacity
+        # pressure): ANY interior chain KF qualifies, observations or not
+        & ((n_mp_kf > 0) | (min_ratio <= 0.0))
         & has_next
         & (prev_of >= 0)
         & (jnp.arange(K) != cur_kf)
@@ -552,6 +557,117 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         lambda a, b: jnp.where(any_cand, a, b), pruned, ms
     )
     return out, jnp.where(any_cand, kid_c, -1)
+
+
+@jax.jit
+def compact_map(ms: MapState):
+    """Renumber keyframe and map-point slots so all valid entries are
+    contiguous from 0, freeing the tail for new insertions.
+
+    Slots are allocated monotonically (n_kf/n_mp never decrease), so
+    pruning and culling leave permanent holes — without compaction the
+    capacities are LIFETIME insert budgets, not live-size budgets. This
+    is the live-map form of the reference's save-time renumbering
+    (MapStorage::saveMap compacts ids, src/MapStorage.cpp:77-118), and
+    the system shell's capacity-pressure response runs it after forced
+    pruning.
+
+    Returns (compacted MapState, kf_new_of_old (K,), mp_new_of_old (M,))
+    — the permutations (-1 for dead slots) so hosts can remap any slot
+    references they hold (tracking reference, trajectory anchors).
+    """
+    K, M, N = ms.K, ms.M, ms.N
+    i32 = jnp.int32
+
+    kf_new = jnp.where(
+        ms.kf_valid, jnp.cumsum(ms.kf_valid) - 1, -1
+    ).astype(i32)
+    n_kf_new = jnp.sum(ms.kf_valid).astype(i32)
+    kf_old = jnp.full((K,), 0, i32).at[
+        jnp.where(ms.kf_valid, kf_new, K)
+    ].set(jnp.arange(K, dtype=i32), mode="drop")
+    kf_live = jnp.arange(K) < n_kf_new
+
+    mp_new = jnp.where(
+        ms.mp_valid, jnp.cumsum(ms.mp_valid) - 1, -1
+    ).astype(i32)
+    n_mp_new = jnp.sum(ms.mp_valid).astype(i32)
+    mp_old = jnp.full((M,), 0, i32).at[
+        jnp.where(ms.mp_valid, mp_new, M)
+    ].set(jnp.arange(M, dtype=i32), mode="drop")
+    mp_live = jnp.arange(M) < n_mp_new
+
+    def remap_kf_ref(x):
+        """Remap values that are KF slots (-1 stays -1; dead refs die)."""
+        return jnp.where(x >= 0, kf_new[jnp.clip(x, 0)], -1)
+
+    def remap_mp_ref(x):
+        return jnp.where(x >= 0, mp_new[jnp.clip(x, 0)], -1)
+
+    def gather_kf(x, dead_fill=0):
+        g = x[kf_old]
+        fill = jnp.asarray(dead_fill, x.dtype)
+        mask_shape = (K,) + (1,) * (x.ndim - 1)
+        return jnp.where(kf_live.reshape(mask_shape), g, fill)
+
+    def gather_mp(x, dead_fill=0):
+        g = x[mp_old]
+        fill = jnp.asarray(dead_fill, x.dtype)
+        mask_shape = (M,) + (1,) * (x.ndim - 1)
+        return jnp.where(mp_live.reshape(mask_shape), g, fill)
+
+    covis = ms.covis[kf_old][:, kf_old]
+    covis = covis & kf_live[:, None] & kf_live[None, :]
+
+    out = MapState(
+        kf_pose=gather_kf(ms.kf_pose),
+        kf_odom=gather_kf(ms.kf_odom),
+        kf_valid=kf_live,
+        kf_xy=gather_kf(ms.kf_xy),
+        kf_octave=gather_kf(ms.kf_octave),
+        kf_angle=gather_kf(ms.kf_angle),
+        kf_feat_valid=gather_kf(ms.kf_feat_valid, False),
+        kf_desc=gather_kf(ms.kf_desc),
+        kf_obs_mp=remap_mp_ref(gather_kf(ms.kf_obs_mp, -1)),
+        kf_view_mp=gather_kf(ms.kf_view_mp),
+        kf_view_info=gather_kf(ms.kf_view_info),
+        kf_pre_next=remap_kf_ref(gather_kf(ms.kf_pre_next, -1)),
+        kf_pre_meas=gather_kf(ms.kf_pre_meas),
+        kf_pre_cov=gather_kf(ms.kf_pre_cov),
+        covis=covis,
+        ftr_i=remap_kf_ref(jnp.where(ms.ftr_valid, ms.ftr_i, -1)),
+        ftr_j=remap_kf_ref(jnp.where(ms.ftr_valid, ms.ftr_j, -1)),
+        ftr_meas=ms.ftr_meas,
+        ftr_info=ms.ftr_info,
+        ftr_valid=(
+            ms.ftr_valid
+            & (remap_kf_ref(ms.ftr_i) >= 0)
+            & (remap_kf_ref(ms.ftr_j) >= 0)
+        ),
+        mp_pos=gather_mp(ms.mp_pos),
+        mp_valid=mp_live,
+        mp_good_prl=gather_mp(ms.mp_good_prl, False),
+        mp_desc=gather_mp(ms.mp_desc),
+        mp_desc_votes=gather_mp(ms.mp_desc_votes),
+        mp_normal=gather_mp(ms.mp_normal),
+        mp_main_kf=remap_kf_ref(gather_mp(ms.mp_main_kf, -1)),
+        mp_main_feat=gather_mp(ms.mp_main_feat, -1),
+        mp_main_octave=gather_mp(ms.mp_main_octave),
+        mp_min_dist=gather_mp(ms.mp_min_dist),
+        mp_max_dist=gather_mp(ms.mp_max_dist, jnp.inf),
+        mp_obs_kf=remap_kf_ref(gather_mp(ms.mp_obs_kf, -1)),
+        mp_obs_feat=gather_mp(ms.mp_obs_feat, -1),
+        mp_n_obs=gather_mp(ms.mp_n_obs),
+        n_kf=n_kf_new,
+        n_mp=n_mp_new,
+    )
+    # dead observation entries (KF side) must also clear the feat side
+    obs_ok = out.mp_obs_kf >= 0
+    out = out._replace(
+        mp_obs_feat=jnp.where(obs_ok, out.mp_obs_feat, -1),
+        mp_n_obs=jnp.sum(obs_ok, axis=1).astype(i32),
+    )
+    return out, kf_new, mp_new
 
 
 # ---------------------------------------------------------------------------

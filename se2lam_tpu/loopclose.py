@@ -72,8 +72,22 @@ def verify_loop(ms: MapState, k, cand, key, n_trials: int = 128):
         thresh_px=3.0,
         min_inliers=10,
     )
-    midx = jnp.where(fr.inliers, midx, -1)
-    n_kp = fr.n_inliers
+    # zero-baseline degeneracy (same fallback as the Localizer's
+    # relocalization verify): revisiting the mapped viewpoint exactly
+    # gives correspondences that determine NO fundamental matrix, so
+    # RANSAC rightly finds nothing — when the median displacement is
+    # tiny the views are near-identical and the mutual descriptor
+    # matches stand on their own (the chi2 gate downstream still judges)
+    disp = jnp.linalg.norm(
+        f_cur.xy[jnp.clip(midx, 0)] - f_loop.xy, axis=-1
+    )
+    disp_sorted = jnp.sort(jnp.where(matched, disp, jnp.inf))
+    n_matched = jnp.sum(matched.astype(jnp.int32))
+    med = disp_sorted[jnp.clip(n_matched // 2, 0, disp.shape[0] - 1)]
+    near_identical = (med < 2.0) & (n_matched >= 20)
+    inliers = jnp.where(near_identical, matched, fr.inliers)
+    midx = jnp.where(inliers, midx, -1)
+    n_kp = jnp.where(near_identical, n_matched, fr.n_inliers)
 
     m_loop = ms.kf_obs_mp[cand]
     m_cur = ms.kf_obs_mp[k][jnp.clip(midx, 0)]
@@ -250,6 +264,58 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
     evals = jnp.clip(evals, 1e-6, 1e4)
     info = (evecs * evals[None, :]) @ evecs.T
     return meas, info, jnp.sum(good.astype(jnp.int32)), good
+
+
+@partial(jax.jit, static_argnames=("hops", "max_cands"))
+def select_feat_pairs(ms: MapState, k, hops: int = 5, max_cands: int = 4):
+    """Feature-edge partner selection by BFS hop distance
+    (Map::SelectKFPairFeat, src/Map.cpp:826-854 +
+    GlobalMapper::GetAllConnectedKFs_nLayers, src/GlobalMapper.cpp:1310-1335):
+
+    candidates are keyframes covisible with ``k`` but more than ``hops``
+    hops away in the odometry+feature edge graph. Selection is greedy in
+    id order, and — matching the reference — each selected keyframe is
+    treated as adjacent to every node in subsequent BFS rounds (so a
+    candidate within ``hops-1`` of an already-selected one is excluded).
+
+    Runs entirely device-side (boolean matrix-vector BFS like
+    local_graph_masks); returns (max_cands,) int32 slots, -1-padded.
+    """
+    K = ms.K
+    # adjacency: odometry chain + existing feature/loop edges
+    rows = jnp.arange(K)
+    nxt = ms.kf_pre_next
+    has_nxt = nxt >= 0
+    adj = jnp.zeros((K, K), bool)
+    adj = adj.at[rows, jnp.clip(nxt, 0)].max(has_nxt)
+    adj = adj.at[jnp.clip(nxt, 0), rows].max(has_nxt)
+    fi = jnp.where(ms.ftr_valid, ms.ftr_i, K)
+    fj = jnp.where(ms.ftr_valid, ms.ftr_j, K)
+    adj = adj.at[fi, jnp.clip(fj, 0)].max(True, mode="drop")
+    adj = adj.at[jnp.clip(fi, 0, K - 1), fj].max(
+        ms.ftr_valid, mode="drop"
+    )
+    adj = adj | adj.T
+
+    covis_k = ms.covis[k] & ms.kf_valid & (jnp.arange(K) != k)
+    out = jnp.full((max_cands,), -1, jnp.int32)
+    sel = jnp.zeros((K,), bool)
+    for c in range(max_cands):
+        # BFS from k; selected KFs join the reach at layer 1 (the
+        # reference inserts _sKFSelected into every adjacency query),
+        # then the closure expands monotonically
+        v = jnp.zeros((K,), bool).at[k].set(True)
+        reach = jnp.any(adj & v[None, :], axis=1) | sel
+        for _ in range(hops - 1):
+            reach = reach | jnp.any(adj & reach[None, :], axis=1)
+        cand_mask = covis_k & ~reach & ~sel
+        any_c = jnp.any(cand_mask)
+        cand = jnp.argmax(
+            jnp.where(cand_mask, jnp.arange(K, 0, -1), 0)
+        )  # lowest-id candidate
+        out = out.at[c].set(jnp.where(any_c, cand, -1))
+        sel = sel.at[jnp.where(any_c, cand, K)].set(True, mode="drop")
+    return out
 
 
 @jax.jit
@@ -443,12 +509,21 @@ class LoopCloser:
         self,
         cfg: SystemConfig,
         n_words: int = 1024,
-        min_kfs_to_train: int = 12,
+        min_kfs_to_train: int = 2,
+        retrain_factor: float = 2.0,
         global_ba_iters: int | None = None,
     ):
         self.cfg = cfg
         self.n_words = n_words
+        # vocabulary lifecycle: bootstrap as soon as min_kfs_to_train
+        # keyframes exist (so loops among the FIRST keyframes of a fresh
+        # run can close), then retrain whenever the map grows by
+        # retrain_factor so words keep covering the live environment —
+        # the self-training replacement for DBoW2's pretrained 45 MB file
+        # (TemplatedVocabulary.h:1478). O(log K) retrainings total.
         self.min_kfs_to_train = min_kfs_to_train
+        self.retrain_factor = retrain_factor
+        self._trained_at_nkf = 0
         self.global_ba_iters = (
             cfg.global_iter if global_ba_iters is None else global_ba_iters
         )
@@ -459,6 +534,8 @@ class LoopCloser:
         self.n_loops_closed = 0
         self.n_loops_dropped = 0   # verified but constraint bank was full
         self.last_loop: tuple[int, int] | None = None
+        self.last_loop_midx = None          # (N,) loop→cur feature matches
+        self.last_global_ba_info: dict | None = None
 
     def adopt_vocab(self, vocab, ms: MapState):
         """Install a vocabulary and backfill the BoW bank for every
@@ -470,67 +547,71 @@ class LoopCloser:
             lambda d, m: vocab_mod.bow_transform(vocab, d, m)
         )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
         self.bank = v
+        # an externally adopted vocabulary counts as trained on the
+        # current map size (prevents an immediate retrain on resume)
+        self._trained_at_nkf = max(self._trained_at_nkf, int(ms.n_kf))
 
-    def _ensure_vocab(self, ms: MapState):
-        if self.vocab is not None:
+    def _ensure_vocab(self, ms: MapState, n_kf: int):
+        fresh_enough = (
+            self.vocab is not None
+            and n_kf < self._trained_at_nkf * self.retrain_factor
+        )
+        if fresh_enough:
             return True
-        n_kf = int(ms.n_kf)
         if n_kf < self.min_kfs_to_train:
-            return False
-        desc = ms.kf_desc[:].reshape(-1, 256)
-        valid = (
-            ms.kf_feat_valid & ms.kf_valid[:, None]
-        ).reshape(-1)
+            return self.vocab is not None
+        # (re)train on all live keyframes; document idf per DBoW2
+        # (one descriptor row block per keyframe = one document)
+        K, N = ms.K, ms.N
+        desc = ms.kf_desc.reshape(-1, 256)
+        valid = (ms.kf_feat_valid & ms.kf_valid[:, None]).reshape(-1)
+        doc_ids = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
         self.key, sub = jax.random.split(self.key)
         self.adopt_vocab(
             vocab_mod.train_vocab(
-                desc, valid, n_words=self.n_words, key=sub
+                desc, valid, n_words=self.n_words, key=sub,
+                doc_ids=doc_ids, n_docs_cap=K,
             ),
             ms,
-        )
+        )   # adopt re-scores the whole bank under the new vocabulary
+        self._trained_at_nkf = n_kf
         return True
 
     def _maybe_feat_edge(self, ms: MapState, k: int) -> MapState:
-        """Sparsified feature edge between the new KF and a covisible but
-        chain-distant partner (Map::SelectKFPairFeat/UpdateFeatGraph,
-        src/Map.cpp:826-889: covisible pairs >5 hops apart in the
-        odometry/feature graph get a single marginalized constraint)."""
-        covis_row = np.asarray(ms.covis[k])
-        ftr_i = np.asarray(ms.ftr_i)
-        ftr_j = np.asarray(ms.ftr_j)
-        ftr_valid = np.asarray(ms.ftr_valid)
-        cands = [
-            j
-            for j in np.nonzero(covis_row)[0]
-            if abs(int(j) - k) > 5
-            and not np.any(
-                ftr_valid
-                & (
-                    ((ftr_i == j) & (ftr_j == k))
-                    | ((ftr_i == k) & (ftr_j == j))
-                )
+        """Sparsified feature edges between the new KF and covisible but
+        graph-distant partners (Map::SelectKFPairFeat/UpdateFeatGraph,
+        src/Map.cpp:826-889): candidates selected by BFS hop distance
+        over the odometry+feature edge graph (device-side), every
+        selected pair gets a marginalized constraint (the reference
+        creates one per selected pair; CreateFeatEdge failures — here
+        the verify/chi2 gates — skip the pair)."""
+        cands = jax.device_get(select_feat_pairs(ms, k))   # ONE small pull
+        for cand in cands:
+            cand = int(cand)
+            if cand < 0:
+                break
+            self.key, sub = jax.random.split(self.key)
+            midx, n_kp, n_mp, _ = verify_loop(
+                ms, k, cand, sub, n_trials=self.cfg.cap.ransac_trials
             )
-        ]
-        if not cands:
-            return ms
-        cand = int(cands[0])
-        self.key, sub = jax.random.split(self.key)
-        midx, n_kp, n_mp, _ = verify_loop(
-            ms, k, cand, sub, n_trials=self.cfg.cap.ransac_trials
-        )
-        if int(n_mp) < 10:
-            return ms
-        meas, info, n_good, _ = build_loop_constraint(
-            ms, k, cand, midx, self.cfg
-        )
-        if int(n_good) < 10:
-            return ms
-        return add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
+            if int(n_mp) < 10:
+                continue
+            meas, info, n_good, _ = build_loop_constraint(
+                ms, k, cand, midx, self.cfg
+            )
+            if int(n_good) < 10:
+                continue
+            ms = add_ftr_edge(
+                ms, jnp.asarray(cand), jnp.asarray(k), meas, info
+            )
+        return ms
 
     def on_new_kf(self, ms: MapState, k) -> MapState:
         k = int(k)
         ms = self._maybe_feat_edge(ms, k)
-        if not self._ensure_vocab(ms):
+        # slots are never reused, so the new KF's slot determines the
+        # insert count without a device sync
+        if not self._ensure_vocab(ms, n_kf=k + 1):
             return ms
         # temporal throttle: consecutive keyframes revisiting the same
         # place would close near-duplicate loops whose correlated errors
@@ -557,17 +638,21 @@ class LoopCloser:
             & (ids <= k - cfg.gm_dcl_min_kfid_offset)
         )
         scores = jnp.where(eligible, scores, -jnp.inf)
-        cand = int(jnp.argmax(scores))
-        best = float(scores[cand])
-        if best < cfg.gm_dcl_min_score_best:
+        # ONE host round-trip for the detect decision (separate int()/
+        # float() fetches each pay a ~30 ms tunnel sync)
+        cand, best = jax.device_get(
+            (jnp.argmax(scores), jnp.max(scores))
+        )
+        cand = int(cand)
+        if float(best) < cfg.gm_dcl_min_score_best:
             return ms
 
-        # verification
+        # verification — one round-trip for the three gate counts
         self.key, sub = jax.random.split(self.key)
         midx, n_kp, n_mp, n_cur = verify_loop(
             ms, k, cand, sub, n_trials=cfg.cap.ransac_trials
         )
-        n_kp, n_mp, n_cur = int(n_kp), int(n_mp), int(n_cur)
+        n_kp, n_mp, n_cur = map(int, jax.device_get((n_kp, n_mp, n_cur)))
         if (
             n_mp < cfg.gm_vcl_num_min_match_mp
             or n_kp < cfg.gm_vcl_num_min_match_kp
@@ -578,10 +663,13 @@ class LoopCloser:
         meas, info, n_good, _good = build_loop_constraint(
             ms, k, cand, midx, cfg
         )
+        n_good, bank_full = jax.device_get(
+            (n_good, jnp.all(ms.ftr_valid))
+        )
         if int(n_good) < cfg.gm_vcl_num_min_match_mp:
             return ms
 
-        if bool(jnp.all(ms.ftr_valid)):
+        if bool(bank_full):
             # constraint bank full: applying the merge/global-BA without
             # the new edge would corrupt the map silently — skip the
             # closure and report (callers can raise MAX_FTR_EDGES)
@@ -589,7 +677,9 @@ class LoopCloser:
             return ms
         ms = add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
         ms = merge_loop_mps(ms, k, cand, midx)
-        ms, _ = run_global_ba(ms, iters=self.global_ba_iters)
+        ms, gba_info = run_global_ba(ms, iters=self.global_ba_iters)
         self.n_loops_closed += 1
         self.last_loop = (cand, k)
+        self.last_loop_midx = midx          # for the debug-image loop pane
+        self.last_global_ba_info = gba_info
         return ms

@@ -42,7 +42,7 @@ from jax import shard_map
 
 from .. import factors
 from ..ops import linalg, se2
-from ..solver.ba import BAConfig, BAProblem
+from ..solver.ba import BAConfig, BAProblem, schur_reduce
 
 __all__ = [
     "DistBAProblem",
@@ -232,9 +232,9 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
                 eye3[None],
             )
             Hxx_inv = linalg.inv3x3(Hxx_safe)
-            T = jnp.einsum("kmab,mbc->kmac", Hpx, Hxx_inv)
-            S_p = Hpp_p - jnp.einsum("kmab,lmcb->klac", T, Hpx)
-            b_p = bp_p - jnp.einsum("kmab,mb->ka", T, bx)
+            # per-device point-block elimination; routes through the
+            # fused Pallas kernel at bank-scale Mb on TPU (solver/ba.py)
+            S_p, b_p = schur_reduce(Hpp_p, bp_p, Hpx, Hxx_inv, bx)
 
             # ONE collective: reduce the Schur-reduced camera systems
             S = jax.lax.psum(S_p, axis)

@@ -170,6 +170,33 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
     return Hpp, bp, Hxx, bx, Hpx, chi2_total
 
 
+# Below this many point blocks the einsum pair is faster than the fused
+# Pallas kernel (measured on v5e, examples/bench_schur.py — the T
+# intermediate is small enough to stay cheap); above it the kernel wins
+# by skipping the HBM roundtrip of T.
+PALLAS_SCHUR_MIN_M = 2048
+
+
+def schur_reduce(Hpp, bp, Hpx, Hxx_inv, bx):
+    """Point-block elimination: S = Hpp − Hpx·Hxx⁻¹·Hpxᵀ and the reduced
+    rhs b = bp − Hpx·Hxx⁻¹·bx.
+
+    Routes at trace time: bank-scale problems on TPU go through the
+    fused Pallas kernel (solver/pallas_schur.py — the T = Hpx·Hxx⁻¹
+    intermediate never touches HBM); window-scale problems use the
+    einsum pair, which XLA maps straight onto the MXU."""
+    M = Hpx.shape[1]
+    if M >= PALLAS_SCHUR_MIN_M and jax.default_backend() == "tpu":
+        from .pallas_schur import schur_reduce_pallas
+
+        S_red = schur_reduce_pallas(Hpx, Hxx_inv)
+        y = jnp.einsum("mab,mb->ma", Hxx_inv, bx)
+        return Hpp - S_red, bp - jnp.einsum("kmab,mb->ka", Hpx, y)
+    T = jnp.einsum("kmab,mbc->kmac", Hpx, Hxx_inv)          # (K,M,3,3)
+    S_red = jnp.einsum("kmab,lmcb->klac", T, Hpx)           # (K,K,3,3)
+    return Hpp - S_red, bp - jnp.einsum("kmab,mb->ka", T, bx)
+
+
 def _fix_gauge(Hpp_d, bp_d, free3):
     """Fix variables by zeroing their rows/cols and unit diagonal.
 
@@ -204,11 +231,7 @@ def _solve_inner(prob, cam, Tcb, cfg, lam):
     )
     Hxx_inv = linalg.inv3x3(Hxx_safe)
 
-    # Schur: S = Hpp − Hpx Hxx⁻¹ Hpxᵀ ; contraction over (M, 3) on the MXU
-    T = jnp.einsum("kmab,mbc->kmac", Hpx, Hxx_inv)          # (K,M,3,3)
-    S_red = jnp.einsum("kmab,lmcb->klac", T, Hpx)           # (K,K,3,3)
-    S = Hpp - S_red
-    b_red = bp - jnp.einsum("kmab,mb->ka", T, bx)
+    S, b_red = schur_reduce(Hpp, bp, Hpx, Hxx_inv, bx)
 
     # to dense (3K, 3K)
     S_d = S.transpose(0, 2, 1, 3).reshape(3 * K, 3 * K)

@@ -70,6 +70,19 @@ class SlamSystem:
         self.key = jax.random.PRNGKey(0)
         self.timings: dict[str, float] = {}
         self.prune_rounds = 2
+        # capacity-pressure telemetry (surfaced, not silent):
+        # compactions = successful relief events; at_capacity = True when
+        # even forced pruning could not free a slot (mapping then pauses
+        # and the system coasts on odometry until pressure clears)
+        self.capacity_compactions = 0
+        self.at_capacity = False
+        # in-run observability (off by default — see enable_viz)
+        self._viz_dir: str | None = None
+        self._viz_every = 5
+        self._last_img = None
+        self._ref_img = None
+        self.log_ba = False
+        self.ba_log: list[dict] = []
         self.enable_loops = enable_loops
         if enable_loops:
             from .loopclose import LoopCloser
@@ -188,8 +201,24 @@ class SlamSystem:
             )
         return feats
 
+    def enable_viz(self, out_dir: str, every_n_kf: int = 5,
+                   log_ba: bool = True):
+        """Turn on the in-run observability surface: every ``every_n_kf``
+        keyframes, emit the composed frame-debug image (the FramePublish
+        canvas, src/FramePublish.cpp:152-203) and a map plot (the
+        MapPublish role, src/MapPublish.cpp:529-581 — cadence per-KF
+        instead of FPS/3) into ``out_dir``; optionally record a per-BA
+        chi2/edge-count log (the printOptInfo analog,
+        src/LocalMapper.cpp:374-440) in ``self.ba_log``."""
+        os.makedirs(out_dir, exist_ok=True)
+        self._viz_dir = out_dir
+        self._viz_every = max(1, every_n_kf)
+        self.log_ba = log_ba
+
     def process(self, img, odo) -> np.ndarray:
         """Feed one (image, odometry) pair; returns current body pose (3,)."""
+        if self._viz_dir is not None:
+            self._last_img = np.asarray(img)
         return self.process_features(self.extract(img), odo)
 
     def process_features(self, feats: OrbFeatures, odo) -> np.ndarray:
@@ -258,11 +287,97 @@ class SlamSystem:
         )
         self._frame_anchors.append((self.frame_id, self._ref_kf_host, rel))
 
-        if bool(need_kf) and int(n_kf) < cfg.cap.max_kfs:
-            self._insert_keyframe(feats, odo)
+        if bool(need_kf):
+            if int(n_kf) >= cfg.cap.max_kfs:
+                # capacity pressure: force pruning at a stepwise-relaxed
+                # redundancy bar, then compact slot holes (the reference
+                # never frees memory; Map::pruneRedundantKF is the
+                # machinery this extends, src/Map.cpp:146-283)
+                self._relieve_capacity()
+            else:
+                self.at_capacity = False
+            if not self.at_capacity:
+                self._insert_keyframe(feats, odo)
         self.trajectory.append((self.frame_id, pose))
         self.frame_id += 1
         return pose
+
+    def _relieve_capacity(self) -> bool:
+        """Forced prune + compaction when the KF bank is full.
+
+        Escalates the redundancy bar (0.8 → 0.6) until pruning frees
+        slots, then renumbers the map (localmap.compact_map) and remaps
+        every host-side slot reference. Sets ``at_capacity`` when even
+        the relaxed bar frees nothing (the map is genuinely dense) —
+        mapping pauses, tracking coasts on odometry, and the next
+        pressure event retries."""
+        cfg = self.cfg
+        ref = jnp.asarray(self._ref_kf_host, jnp.int32)
+        # escalation: relaxed redundancy bars, then marginalize-oldest
+        # (min_ratio 0 admits any interior chain KF — its odometry edges
+        # splice into one composed preintegration, so the constraint
+        # information is kept even though the views are dropped)
+        for ratio in (0.8, 0.7, 0.6, 0.0):
+            for _ in range(3):
+                self.ms, _ = localmap.prune_redundant_kf(
+                    self.ms, ref, protect=self._ref_kf_host,
+                    cfg=cfg, min_ratio=ratio,
+                )
+            # one sync per escalation step (rare path)
+            if int(jnp.sum(self.ms.kf_valid)) < cfg.cap.max_kfs:
+                break
+        old_kf_pose = np.asarray(jax.device_get(self.ms.kf_pose))
+        self.ms, kf_perm, _mp_perm = localmap.compact_map(self.ms)
+        kf_perm = np.asarray(jax.device_get(kf_perm))
+        self._remap_slots(kf_perm, old_kf_pose)
+        freed = int(self.ms.n_kf) < cfg.cap.max_kfs
+        if freed:
+            self.capacity_compactions += 1
+        self.at_capacity = not freed
+        return freed
+
+    def _remap_slots(self, kf_perm: np.ndarray, old_kf_pose: np.ndarray):
+        """Apply a compaction permutation to every host-side slot
+        reference: the tracking reference, the per-KF frame-id list, the
+        retro-correction anchors (anchors whose keyframe died are baked
+        to absolute poses at the keyframe's last estimate), the tracking
+        state, and the loop closer's BoW bank."""
+        new_ref = int(kf_perm[self._ref_kf_host])
+        assert new_ref >= 0, "protected tracking reference was compacted away"
+        self._ref_kf_host = new_ref
+        if self.ts is not None:
+            self.ts = self.ts._replace(
+                ref_kf_idx=jnp.asarray(new_ref, jnp.int32)
+            )
+        # kf_frame_ids is slot-indexed: rebuild in new slot order
+        new_ids = [0] * int(self.ms.n_kf)
+        for old_slot, fid in enumerate(self.kf_frame_ids):
+            if old_slot < len(kf_perm) and kf_perm[old_slot] >= 0:
+                ns = int(kf_perm[old_slot])
+                if ns < len(new_ids):
+                    new_ids[ns] = fid
+        self.kf_frame_ids = new_ids
+        anchors = []
+        for fid, ref, rel in self._frame_anchors:
+            if ref == -1:
+                anchors.append((fid, -1, rel))       # already absolute
+            elif ref < len(kf_perm) and kf_perm[ref] >= 0:
+                anchors.append((fid, int(kf_perm[ref]), rel))
+            else:
+                # anchor keyframe compacted away: bake the absolute pose
+                # from its final estimate
+                a = old_kf_pose[ref]
+                c, s = np.cos(a[2]), np.sin(a[2])
+                th = a[2] + rel[2]
+                anchors.append((fid, -1, np.asarray([
+                    a[0] + c * rel[0] - s * rel[1],
+                    a[1] + s * rel[0] + c * rel[1],
+                    np.arctan2(np.sin(th), np.cos(th)),
+                ], np.float32)))
+        self._frame_anchors = anchors
+        if self._loop_closer is not None and self._loop_closer.vocab is not None:
+            # bank rows move with their keyframes
+            self._loop_closer.adopt_vocab(self._loop_closer.vocab, self.ms)
 
     def _insert_keyframe(self, feats: OrbFeatures, odo):
         cfg, ts = self.cfg, self.ts
@@ -301,6 +416,20 @@ class SlamSystem:
         t0 = time.perf_counter()
         self.ms, ba_info = localmap.run_local_ba(self.ms, k, cfg)
         self.timings["local_ba"] = time.perf_counter() - t0
+        if self.log_ba:
+            # the printOptInfo analog (src/LocalMapper.cpp:374-440):
+            # aggregate chi2 before/after + problem size, ONE device pull
+            rec = jax.device_get(
+                (k, ba_info["chi2_init"], ba_info["chi2"],
+                 ba_info["lambda"], self.ms.n_kf,
+                 jnp.sum(self.ms.mp_valid))
+            )
+            self.ba_log.append({
+                "frame": self.frame_id, "kf": int(rec[0]),
+                "chi2_init": float(rec[1]), "chi2": float(rec[2]),
+                "lambda": float(rec[3]), "n_kf": int(rec[4]),
+                "n_mp": int(rec[5]),
+            })
 
         if self.enable_loops and self._loop_closer is not None:
             t0 = time.perf_counter()
@@ -330,6 +459,48 @@ class SlamSystem:
             self._frame_anchors[-1] = (
                 self.frame_id, self._ref_kf_host, np.zeros(3, np.float32)
             )
+
+        # in-run observability cadence (enable_viz)
+        if (
+            self._viz_dir is not None
+            and self._last_img is not None
+            and len(self.kf_frame_ids) % self._viz_every == 0
+        ):
+            self._emit_viz(feats, ts)
+        if self._viz_dir is not None:
+            self._ref_img = self._last_img
+
+    def _emit_viz(self, feats: OrbFeatures, old_ts):
+        """Write the composed frame-debug image + map plot for the KF
+        just inserted (host-side file IO; device pulls are viz-only)."""
+        from . import viz
+
+        fid = self.frame_id
+        loop_xy = loop_match = None
+        lc = self._loop_closer
+        if (
+            lc is not None
+            and lc.last_loop is not None
+            and getattr(lc, "last_loop_midx", None) is not None
+            and lc.last_loop[1] == self._ref_kf_host
+        ):
+            loop_xy = np.asarray(self.ms.kf_xy[lc.last_loop[0]])
+            loop_match = np.asarray(lc.last_loop_midx)
+        viz.compose_debug_image(
+            os.path.join(self._viz_dir, f"frame_{fid:05d}.png"),
+            self._last_img,
+            feats,
+            match_idx=np.asarray(old_ts.match_idx),
+            ref_img=self._ref_img,
+            ref_xy=np.asarray(old_ts.ref_feats.xy),
+            loop_xy=loop_xy,
+            loop_match=loop_match,
+            label=f"f{fid} kf{len(self.kf_frame_ids)}",
+        )
+        viz.plot_map(
+            os.path.join(self._viz_dir, f"map_{fid:05d}.png"), self.ms,
+            title=f"map @ frame {fid}",
+        )
 
     # -- outputs (OdoSLAM::saveMap trajectory dump, src/OdoSLAM.cpp:199-214) --
 
@@ -372,14 +543,19 @@ class SlamSystem:
         for fid, live in self.trajectory:
             if fid in anchors:
                 ref, rel = anchors[fid]
-                a = kf_pose[ref]
-                c, s = np.cos(a[2]), np.sin(a[2])
-                th = a[2] + rel[2]
-                p = (
-                    a[0] + c * rel[0] - s * rel[1],
-                    a[1] + s * rel[0] + c * rel[1],
-                    np.arctan2(np.sin(th), np.cos(th)),
-                )
+                if ref == -1:
+                    # anchor keyframe was compacted away: rel IS the
+                    # baked absolute pose (see _remap_slots)
+                    p = (rel[0], rel[1], rel[2])
+                else:
+                    a = kf_pose[ref]
+                    c, s = np.cos(a[2]), np.sin(a[2])
+                    th = a[2] + rel[2]
+                    p = (
+                        a[0] + c * rel[0] - s * rel[1],
+                        a[1] + s * rel[0] + c * rel[1],
+                        np.arctan2(np.sin(th), np.cos(th)),
+                    )
             else:
                 p = live                  # first frame(s): origin gauge
             out.append([fid, p[0], p[1], p[2]])
@@ -425,11 +601,16 @@ class SlamSystem:
         if vocab is None and with_vocab and self.n_keyframes() >= 2:
             from .vocab import train_vocab
 
+            K, N = self.ms.K, self.ms.N
             desc = self.ms.kf_desc.reshape(-1, 256)
             valid = (
                 self.ms.kf_feat_valid & self.ms.kf_valid[:, None]
             ).reshape(-1)
-            vocab = train_vocab(desc, valid, n_words=512, iters=5)
+            doc_ids = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+            vocab = train_vocab(
+                desc, valid, n_words=512, iters=5,
+                doc_ids=doc_ids, n_docs_cap=K,
+            )
             if self._loop_closer is not None:
                 # keep the in-session BoW state consistent with the
                 # checkpoint: a later loop closure must score against the

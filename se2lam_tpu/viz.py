@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["plot_trajectories", "plot_map", "draw_frame_debug"]
+__all__ = [
+    "plot_trajectories", "plot_map", "draw_frame_debug",
+    "compose_debug_image",
+]
 
 
 def plot_trajectories(path: str, named_xy: dict, title: str = "trajectories"):
@@ -88,6 +91,90 @@ def plot_map(path: str, ms, title: str = "map"):
         ax.set_ylim(y0 - 0.6 * mx, y1 + 0.6 * mx)
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+def compose_debug_image(
+    path: str,
+    img_cur,
+    feats_cur,
+    match_idx=None,
+    ref_img=None,
+    ref_xy=None,
+    loop_xy=None,
+    loop_match=None,
+    label: str = "",
+):
+    """FramePublish-style composed debug canvas
+    (src/FramePublish.cpp:152-203): a 2×2 grid of
+
+        [ current frame + match lines | reference keyframe ]
+        [ loop-match panel            | (reserved)          ]
+
+    The loop panel draws the loop keyframe's keypoints and the verified
+    correspondences from stored geometry (the map keeps keypoints, not
+    pixels — by design the framework never stores keyframe images).
+    """
+    from PIL import Image, ImageDraw
+
+    arr = np.clip(np.asarray(img_cur), 0, 255).astype(np.uint8)
+    H, W = arr.shape[:2]
+    canvas = Image.new("RGB", (2 * W, 2 * H), (16, 16, 16))
+    d_all = ImageDraw.Draw(canvas)
+
+    # pane 1: current frame, keypoints + match lines to ref positions
+    cur = Image.fromarray(arr).convert("RGB")
+    d = ImageDraw.Draw(cur)
+    xy = np.asarray(feats_cur.xy)
+    valid = np.asarray(feats_cur.valid)
+    for i in np.nonzero(valid)[0]:
+        x, y = xy[i]
+        d.ellipse([x - 2, y - 2, x + 2, y + 2], outline=(0, 255, 0))
+    if match_idx is not None and ref_xy is not None:
+        midx = np.asarray(match_idx)
+        rxy = np.asarray(ref_xy)
+        for i in np.nonzero(midx >= 0)[0]:
+            x1, y1 = rxy[i]
+            x2, y2 = xy[midx[i]]
+            d.line([x1, y1, x2, y2], fill=(255, 0, 0))
+    canvas.paste(cur, (0, 0))
+
+    # pane 2: reference keyframe (its image if the caller kept one,
+    # else keypoints on black)
+    if ref_img is not None:
+        ref = Image.fromarray(
+            np.clip(np.asarray(ref_img), 0, 255).astype(np.uint8)
+        ).convert("RGB")
+    else:
+        ref = Image.new("RGB", (W, H), (0, 0, 0))
+    dr = ImageDraw.Draw(ref)
+    if ref_xy is not None:
+        for x, y in np.asarray(ref_xy):
+            if 0 <= x < W and 0 <= y < H:
+                dr.ellipse([x - 2, y - 2, x + 2, y + 2],
+                           outline=(0, 200, 255))
+    canvas.paste(ref, (W, 0))
+
+    # pane 3: loop match panel (keypoint geometry + correspondences)
+    loop = Image.new("RGB", (W, H), (0, 0, 0))
+    dl = ImageDraw.Draw(loop)
+    if loop_xy is not None:
+        lxy = np.asarray(loop_xy)
+        for x, y in lxy:
+            if 0 <= x < W and 0 <= y < H:
+                dl.ellipse([x - 2, y - 2, x + 2, y + 2],
+                           outline=(255, 200, 0))
+        if loop_match is not None:
+            lm = np.asarray(loop_match)
+            for i in np.nonzero(lm >= 0)[0]:
+                x1, y1 = lxy[i]
+                x2, y2 = xy[lm[i]]
+                dl.line([x1, y1, x2, y2], fill=(255, 0, 255))
+    canvas.paste(loop, (0, H))
+
+    if label:
+        d_all.text((2 * W - 8 * len(label) - 10, 2 * H - 20), label,
+                   fill=(255, 255, 255))
+    canvas.save(path)
 
 
 def draw_frame_debug(path: str, img, feats, match_idx=None, ref_xy=None):

@@ -25,7 +25,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Vocabulary", "train_vocab", "bow_transform", "bow_score"]
+__all__ = [
+    "Vocabulary", "train_vocab", "bow_transform", "bow_score",
+    "document_idf",
+]
 
 
 class Vocabulary(NamedTuple):
@@ -48,15 +51,47 @@ def _assign(desc_pm1, words):
     return jnp.argmax(dot, axis=1)
 
 
-@partial(jax.jit, static_argnames=("n_words", "iters"))
+def document_idf(word_ids, valid, doc_ids, n_docs_cap: int, n_words: int):
+    """DBoW2 idf: per-DOCUMENT word frequency, weight = ln(N/Ni) where N
+    is the number of documents (images) and Ni the number of documents
+    containing word i; unused words weigh 0
+    (TemplatedVocabulary::setNodeWeights, the TF_IDF path,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h — each image counts a
+    word at most once via the `counted` array)."""
+    ok = valid & (doc_ids >= 0)
+    occ = jnp.zeros((n_docs_cap, n_words), bool).at[
+        jnp.where(ok, doc_ids, n_docs_cap), word_ids
+    ].max(True, mode="drop")
+    df = jnp.sum(occ, axis=0).astype(jnp.float32)
+    n_docs = jnp.maximum(
+        jnp.sum(jnp.any(occ, axis=1)).astype(jnp.float32), 1.0
+    )
+    idf = jnp.where(df > 0, jnp.log(n_docs / jnp.maximum(df, 1.0)), 0.0)
+    # degenerate corpus (every used word appears in every document —
+    # e.g. a 2-keyframe bootstrap of one scene): all idf would be 0 and
+    # every BowVector would collapse to zero; fall back to DBoW2's TF
+    # weighting ("idf part must be 1 always", setNodeWeights)
+    return jnp.where(
+        jnp.max(idf) > 0.0, idf, (df > 0).astype(jnp.float32)
+    )
+
+
+@partial(jax.jit, static_argnames=("n_words", "iters", "n_docs_cap"))
 def train_vocab(
     desc_pm1,            # (D, 256) ±1 int8 training descriptors
     valid,               # (D,) bool
     n_words: int = 1024,
     iters: int = 8,
     key=None,
+    doc_ids=None,        # (D,) int32 document (keyframe) per descriptor
+    n_docs_cap: int | None = None,
 ):
-    """Binary k-means: Lloyd iterations with bitwise-majority centroids."""
+    """Binary k-means: Lloyd iterations with bitwise-majority centroids.
+
+    With ``doc_ids`` (and static ``n_docs_cap``), idf follows DBoW2's
+    per-document statistic; without, each descriptor counts as its own
+    document (a degenerate corpus — fine for unit fixtures, wrong for
+    loop-closure calibration)."""
     D = desc_pm1.shape[0]
     key = jax.random.PRNGKey(0) if key is None else key
     # init: random valid descriptors as seeds
@@ -82,11 +117,11 @@ def train_vocab(
 
     words = jax.lax.fori_loop(0, iters, lloyd, words)
 
-    # idf from the training set (TemplatedVocabulary::create TF_IDF path)
     a = _assign(desc_pm1, words)
-    df = jnp.zeros((n_words,), jnp.float32).at[a].add(valid.astype(jnp.float32))
-    n_docs = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
-    idf = jnp.log(n_docs / jnp.maximum(df, 1.0) + 1.0)
+    if doc_ids is None:
+        doc_ids = jnp.arange(D, dtype=jnp.int32)
+        n_docs_cap = D
+    idf = document_idf(a, valid, doc_ids, n_docs_cap, n_words)
     return Vocabulary(words=words, idf=idf)
 
 
@@ -107,6 +142,13 @@ def bow_transform(vocab: Vocabulary, desc_pm1, valid):
 @jax.jit
 def bow_score(bank, v):
     """DBoW2 L1 score of ``v`` vs every row of ``bank`` (K, W):
-    s = 1 − ½ Σ|a − b| = ½ Σ (|a| + |b| − |a − b|)  (ScoringObject.h:76)."""
+    s = 1 − ½ Σ|a − b| = ½ Σ (|a| + |b| − |a − b|)  (ScoringObject.h:76).
+
+    All-zero bank rows (empty/pruned/padded keyframes) score −inf: the
+    raw formula gives them 0.5 against ANY normalized query — higher
+    than real non-matches — so an unmasked empty row would win every
+    detection (DBoW2 never scores an empty document)."""
     diff = jnp.abs(bank - v[None, :])
-    return 1.0 - 0.5 * jnp.sum(diff, axis=1)
+    s = 1.0 - 0.5 * jnp.sum(diff, axis=1)
+    nz = jnp.any(bank != 0.0, axis=1)
+    return jnp.where(nz, s, -jnp.inf)

@@ -53,3 +53,46 @@ def test_kf_capacity_exhaustion():
     check_consistency(slam.ms)
     rows = slam.kf_trajectory()
     assert rows.shape[0] == int(np.asarray(slam.ms.kf_valid).sum())
+
+
+def test_capacity_pressure_keeps_mapping():
+    """2.5× over-capacity sequence: forced pruning + slot compaction must
+    keep inserting keyframes (not silently degrade to odometry-only),
+    with the retro-corrected trajectory bounded and the map consistent."""
+    from se2lam_tpu.frontend.orb import OrbConfig
+    from se2lam_tpu.io import ate_se2
+
+    oc = OrbConfig(height=120, width=160, n_features=128,
+                   scale_factor=1.2, n_levels=2)
+    cfg = SystemConfig(
+        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=128, max_level=2,
+        min_frames_between_kf=1, max_frames_between_kf=2,
+        local_iter=4,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=8, max_mps=512,
+            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
+    slam = SlamSystem(cfg, enable_loops=False)
+    n = 44   # ~20+ KF-worthy frames against an 8-slot budget
+    for img, odo in world.sequence(n, noise=(0.002, 0.001, 0.001)):
+        slam.process(img, odo)
+
+    assert slam.frame_id == n
+    # pressure relief actually ran and freed slots
+    assert slam.capacity_compactions >= 1
+    # mapping continued past the lifetime-capacity point: more KF
+    # insertions than slots ever existed
+    assert len(slam.kf_frame_ids) == slam.n_keyframes()
+    assert max(slam.kf_frame_ids) > 20, (
+        "no keyframe inserted after the bank first filled"
+    )
+    check_consistency(slam.ms)
+    corr = slam.corrected_trajectory()
+    assert np.isfinite(corr).all()
+    rmse, _ = ate_se2(corr[:, 1:3], world.gt[:n, :2])
+    assert rmse < 0.5, f"ATE {rmse}"

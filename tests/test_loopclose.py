@@ -188,3 +188,204 @@ def test_full_loop_closure_reduces_drift(rng):
     odo_err = np.linalg.norm(odo[-1][:2] - gt[-1][:2])
     slam_err = np.linalg.norm(est - gt_last)
     assert slam_err < odo_err, (slam_err, odo_err)
+
+
+# ---------------------------------------------------------------------------
+# Feature-edge partner selection by graph distance (Map::SelectKFPairFeat)
+# ---------------------------------------------------------------------------
+
+def _chain_map(K=12, links=None, n_kf=None):
+    import jax.numpy as jnp
+
+    from se2lam_tpu.config import Capacity
+    from se2lam_tpu.mapstate import empty_map
+
+    cap = Capacity(n_features=16, max_kfs=K, max_mps=32)
+    ms = empty_map(cap)
+    links = links if links is not None else [(i, i + 1) for i in range(K - 1)]
+    valid = jnp.zeros((K,), bool)
+    nxt = jnp.full((K,), -1, jnp.int32)
+    for a, b in links:
+        nxt = nxt.at[a].set(b)
+        valid = valid.at[a].set(True).at[b].set(True)
+    return ms._replace(
+        kf_valid=valid, kf_pre_next=nxt,
+        n_kf=jnp.asarray(n_kf if n_kf is not None else K, jnp.int32),
+    )
+
+
+def test_select_feat_pairs_graph_distant():
+    """Covisible + >5 hops along the chain → selected."""
+    import jax.numpy as jnp
+
+    from se2lam_tpu.loopclose import select_feat_pairs
+
+    ms = _chain_map(10)
+    ms = ms._replace(covis=ms.covis.at[9, 0].set(True).at[0, 9].set(True))
+    out = np.asarray(select_feat_pairs(ms, 9))
+    assert out[0] == 0 and (out[1:] == -1).all()
+
+
+def test_select_feat_pairs_respects_feature_edges():
+    """An existing feature edge shortcuts the graph: the same covisible
+    pair becomes ≤5 hops and must NOT be re-selected (slot-id distance
+    would wrongly pick it)."""
+    import jax.numpy as jnp
+
+    from se2lam_tpu.loopclose import select_feat_pairs
+
+    ms = _chain_map(10)
+    ms = ms._replace(
+        covis=ms.covis.at[9, 0].set(True).at[0, 9].set(True),
+        ftr_i=ms.ftr_i.at[0].set(2),
+        ftr_j=ms.ftr_j.at[0].set(8),
+        ftr_valid=ms.ftr_valid.at[0].set(True),
+    )
+    # 9 → 8 → (ftr) 2 → 1 → 0: four hops
+    out = np.asarray(select_feat_pairs(ms, 9))
+    assert (out == -1).all()
+
+
+def test_select_feat_pairs_pruned_map_uses_hops_not_slots():
+    """After pruning, the chain runs over even slots only: slot distance
+    8 is just 4 hops — must be excluded (the round-1 |i−j| heuristic
+    would select it)."""
+    from se2lam_tpu.loopclose import select_feat_pairs
+
+    ms = _chain_map(10, links=[(0, 2), (2, 4), (4, 6), (6, 8)])
+    ms = ms._replace(covis=ms.covis.at[8, 0].set(True).at[0, 8].set(True))
+    out = np.asarray(select_feat_pairs(ms, 8))
+    assert (out == -1).all()
+
+
+def test_select_feat_pairs_greedy_selection_blocks_neighbors():
+    """Once a partner is selected it becomes adjacent to everything
+    (reference GetAllConnectedKFs inserts the selected set), so a second
+    candidate next to it falls inside the hop radius and is skipped."""
+    from se2lam_tpu.loopclose import select_feat_pairs
+
+    ms = _chain_map(12)
+    covis = ms.covis
+    for j in (0, 1):
+        covis = covis.at[11, j].set(True).at[j, 11].set(True)
+    ms = ms._replace(covis=covis)
+    out = np.asarray(select_feat_pairs(ms, 11))
+    assert out[0] == 0 and (out[1:] == -1).all()
+
+
+def test_document_idf_matches_dbow2_definition():
+    """idf is per-DOCUMENT: ln(N_docs / N_docs_containing_word), counted
+    at most once per document regardless of how many descriptors of that
+    document hit the word (TemplatedVocabulary::setNodeWeights)."""
+    from se2lam_tpu.vocab import document_idf
+
+    W = 8
+    # word 0: many descriptors but all in doc 0 → Ni = 1
+    # word 1: one descriptor in each of docs 0..2 → Ni = 3 (all docs)
+    # word 2: docs 0 and 1 → Ni = 2
+    word_ids = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 2, 2], jnp.int32)
+    doc_ids = jnp.asarray([0, 0, 0, 0, 0, 1, 2, 0, 1], jnp.int32)
+    valid = jnp.ones((9,), bool)
+    idf = np.asarray(document_idf(word_ids, valid, doc_ids, 4, W))
+    assert idf[0] == pytest.approx(np.log(3.0 / 1.0))
+    assert idf[1] == pytest.approx(np.log(3.0 / 3.0))   # ubiquitous → 0
+    assert idf[2] == pytest.approx(np.log(3.0 / 2.0))
+    assert (idf[3:] == 0).all()                          # unused words
+
+    # degenerate corpus: every used word in every doc → TF fallback (1.0)
+    word_ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    doc_ids = jnp.asarray([0, 1, 0, 1], jnp.int32)
+    idf = np.asarray(
+        document_idf(word_ids, jnp.ones((4,), bool), doc_ids, 4, W)
+    )
+    assert idf[0] == 1.0 and idf[1] == 1.0 and (idf[2:] == 0).all()
+
+
+def test_zero_bank_rows_never_win():
+    """All-zero BoW rows (empty/pruned keyframes) must score -inf, not
+    the raw formula's 0.5 (which would beat every real non-match)."""
+    v = jnp.asarray([0.5, 0.5, 0.0, 0.0], jnp.float32)
+    bank = jnp.stack([jnp.zeros(4), jnp.asarray([0.0, 0.0, 0.5, 0.5])])
+    s = np.asarray(vocab_mod.bow_score(bank, v))
+    assert s[0] == -np.inf
+    assert s[1] == pytest.approx(0.0)
+
+
+def test_loop_closes_before_kf12_with_bootstrap_vocab(rng):
+    """With the bootstrap vocabulary (trained at 2 KFs, refreshed as the
+    map grows) a revisit among the first dozen keyframes must close —
+    round 1 could not close any loop before KF 12 because the vocabulary
+    did not exist yet."""
+    from se2lam_tpu import localmap, tracking
+    from se2lam_tpu.mapstate import empty_map
+
+    n_feats = 192        # 360-deg landmark spread, ~74-deg FOV → ~40 visible
+    cfg = make_cfg(
+        n_feats,
+        gm_dcl_min_kfid_offset=5,
+        gm_vcl_num_min_match_mp=8,
+        gm_vcl_num_min_match_kp=12,
+        min_frames_between_kf=1,
+        max_frames_between_kf=2,
+    )
+    pts = np.stack(
+        [
+            rng.uniform(-6, 6, n_feats),
+            rng.uniform(-6, 6, n_feats),
+            rng.uniform(-0.5, 1.5, n_feats),
+        ],
+        -1,
+    )
+    r = np.linalg.norm(pts[:, :2], axis=1)
+    # near walls: enough parallax across short baselines that map points
+    # pass the good-parallax gate before the 6-KF culling rule fires
+    pts[:, :2] *= (3.0 / np.maximum(r, 1e-6))[:, None]
+    bits = (rng.random((n_feats, 256)) < 0.5).astype(np.uint8)
+
+    n = 21
+    gt = circle_poses(n, radius=1.0)
+    nrng = np.random.default_rng(5)
+    odo = [gt[0]]
+    for i in range(1, n):
+        d = np.asarray(se2.minus(jnp.asarray(gt[i]), jnp.asarray(gt[i - 1])))
+        d = d + nrng.normal(0, [0.002, 0.001, 0.001]).astype(np.float32)
+        odo.append(
+            np.asarray(
+                se2.compose(jnp.asarray(odo[-1]), jnp.asarray(d, jnp.float32)),
+                np.float32,
+            )
+        )
+    odo = np.stack(odo)
+
+    closer = loopclose.LoopCloser(cfg, n_words=64, global_ba_iters=10)
+    ms = empty_map(cfg.cap)
+    f0 = feats_at(cfg, gt[0], pts, bits)
+    ms = localmap.insert_first_kf(
+        ms, f0, jnp.asarray(odo[0]), jnp.asarray(odo[0])
+    )
+    view, mask = localmap.kf_track_seed(ms, 0)
+    ts = tracking.init_track_state(
+        f0, jnp.asarray(odo[0]), jnp.asarray(odo[0]), 0, view, mask
+    )
+    for i in range(1, n):
+        f = feats_at(cfg, gt[i], pts, bits)
+        ts, res = tracking.track_frame(
+            ts, f, jnp.asarray(odo[i]), jax.random.PRNGKey(i), cfg
+        )
+        if bool(res.need_kf):
+            ms, k = localmap.add_keyframe(
+                ms, f, ts.cur_pose, jnp.asarray(odo[i]), ts.ref_kf_idx,
+                ts.match_idx, ts.local_mps, ts.local_mp_valid, ts.good_prl,
+                ts.pre_meas, ts.pre_cov, cfg,
+            )
+            k = int(k)
+            ms, _ = localmap.run_local_ba(ms, jnp.asarray(k), cfg)
+            ms = closer.on_new_kf(ms, k)
+            view, mask = localmap.kf_track_seed(ms, k)
+            ts = tracking.init_track_state(
+                f, ms.kf_pose[k], jnp.asarray(odo[i]), k, view, mask
+            )
+    assert closer.n_loops_closed >= 1, "no loop closed"
+    assert closer.last_loop[1] < 12, (
+        f"loop closed only at KF {closer.last_loop[1]}"
+    )
