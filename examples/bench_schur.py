@@ -34,9 +34,10 @@ def main():
 
     from se2lam_tpu.solver.pallas_schur import schur_reduce_pallas
 
-    def einsum_reduce(Hpx, Hxx_inv):
-        T = jnp.einsum("kmab,mbc->kmac", Hpx, Hxx_inv)
-        return jnp.einsum("kmab,lmcb->klac", T, Hpx)
+    def einsum_reduce(Hpx4, Hxx_inv):
+        # the solver's (K, 3, M, 3) coupling layout (solver.ba.schur_reduce)
+        T = jnp.einsum("kamb,mbc->kamc", Hpx4, Hxx_inv)
+        return jnp.einsum("kamb,lcmb->klac", T, Hpx4)
 
     R = 16
 
@@ -69,7 +70,7 @@ def main():
     print(f"# backend: {jax.default_backend()}, reps/scan: {R}, "
           f"rtt_ms: {rtt * 1e3:.1f}")
     for K, M in [(24, 512), (64, 2048), (128, 8192), (256, 16384)]:
-        Hpx = jnp.asarray(rng.normal(0, 1, (K, M, 3, 3)), jnp.float32)
+        Hpx = jnp.asarray(rng.normal(0, 1, (K, 3, M, 3)), jnp.float32)
         Hxx = jnp.asarray(rng.normal(0, 0.3, (M, 3, 3)), jnp.float32)
         Hxx_inv = jnp.linalg.inv(
             Hxx @ jnp.swapaxes(Hxx, -1, -2)

@@ -141,6 +141,23 @@ def main():
 
     est = np.asarray([p for _, p in slam.trajectory])
     named = {"slam": est[:, :2]}
+    if not args.synthetic and args.dataset:
+        gt_path = os.path.join(args.dataset, "gt.txt")
+        if os.path.exists(gt_path):
+            gt = np.loadtxt(gt_path)[: len(est)]
+            named["ground truth"] = gt[:, :2]
+            rmse, _ = ate_se2(est[:, :2], gt[:, :2])
+            corr = slam.corrected_trajectory()
+            rmse_c, _ = ate_se2(corr[:, 1:3], gt[: len(corr), :2])
+            print(f"ATE (SE2-aligned RMSE): {rmse:.4f} m live, "
+                  f"{rmse_c:.4f} m retro-corrected")
+            import json as _json
+
+            with open(os.path.join(args.out, "ate.json"), "w") as f:
+                _json.dump({"ate_live_m": round(float(rmse), 4),
+                            "ate_corrected_m": round(float(rmse_c), 4),
+                            "frames": int(len(est)),
+                            "keyframes": slam.n_keyframes()}, f)
     if args.synthetic:
         gt = world.gt[: len(est)]
         named["ground truth"] = gt[:, :2]

@@ -284,7 +284,18 @@ class SystemConfig:
         if cap is not None:
             kw["cap"] = cap
         else:
-            kw["cap"] = Capacity(n_features=kw["max_feature_num"])
+            # the extractor rounds per-level quotas, so its slot count can
+            # differ from max_feature_num — the map's feature axis must
+            # match the extractor's actual output capacity
+            from .frontend.orb import OrbConfig
+
+            oc = OrbConfig(
+                height=kw["height"], width=kw["width"],
+                n_features=kw["max_feature_num"],
+                scale_factor=kw["scale_factor"],
+                n_levels=kw["max_level"],
+            )
+            kw["cap"] = Capacity(n_features=oc.n_slots)
         return cls(**kw)
 
     def replace(self, **kw) -> "SystemConfig":

@@ -168,6 +168,15 @@ def match_by_projection(
     mp_valid:   (M,) bool — in front of camera, in bounds, not yet observed.
     feat_free:  (N,) bool — keyframe features without an observation.
     Returns (N,) int32: matched map-point index per feature, -1 if none.
+
+    Window parity: the reference searches ``levelWinSize = predictLevel ·
+    winSize`` with predictLevel = the point's main octave
+    (src/ORBmatcher.cpp:399-404) — the same linear octave scaling as the
+    ``max(octave, 1) · win_size`` here, EXCEPT at octave 0 where the
+    reference's window degenerates to zero pixels and the point can never
+    match (a quirk, not a feature); the max(·, 1) keeps level-0 points
+    matchable. Level gating [octave−offset, octave+offset] matches
+    :403-404.
     """
     D = hamming_matrix(mp_desc_pm1, feats.desc_pm1)  # (M, N)
     win = jnp.maximum(mp_octave.astype(jnp.float32), 1.0) * win_size

@@ -1,9 +1,12 @@
-"""DatasetRoom-format loader.
+"""DatasetRoom-format loader + writer.
 
 Reads the reference demo dataset layout (test/test_vn.cpp:33-55):
 ``<root>/image/<i>.bmp`` grayscale frames plus ``<root>/odo_raw.txt`` with
 one ``x y theta`` line per frame, fed in lock-step at Config::FPS. No ROS:
-this is a plain Python iterator.
+this is a plain Python iterator. ``write_dataset_room`` produces the same
+on-disk layout (plus the two OpenCV-YAML config files the reference reads,
+src/Config.cpp:83-186) so rendered sequences exercise the full
+disk→decode→YAML→SLAM pipeline end to end.
 """
 from __future__ import annotations
 
@@ -11,7 +14,118 @@ import os
 
 import numpy as np
 
-__all__ = ["DatasetRoom"]
+__all__ = ["DatasetRoom", "write_dataset_room"]
+
+
+def _cv_yaml_matrix(name: str, arr: np.ndarray) -> str:
+    a = np.asarray(arr, np.float64)
+    rows, cols = (a.shape + (1,))[:2] if a.ndim > 1 else (a.size, 1)
+    flat = ", ".join(f"{v:.10g}" for v in a.ravel())
+    return (
+        f"{name}: !!opencv-matrix\n   rows: {rows}\n   cols: {cols}\n"
+        f"   dt: d\n   data: [ {flat} ]\n"
+    )
+
+
+def write_dataset_room(
+    parent: str,
+    frames,
+    odo: np.ndarray,
+    cfg,
+    dataset_name: str = "DatasetRoom",
+    gt: np.ndarray | None = None,
+) -> str:
+    """Write a DatasetRoom-format dataset to disk.
+
+    Layout (what test_vn + Config::readConfig expect,
+    test/test_vn.cpp:33-55, src/Config.cpp:83-186):
+
+        <parent>/CamConfig.yml          intrinsics/distortion/extrinsic
+        <parent>/Settings.yml           runtime settings (reference keys,
+                                        incl. the load-bearing
+                                        'scale_facotr' [sic] typo)
+        <parent>/<name>/image/<i>.bmp   8-bit grayscale frames
+        <parent>/<name>/odo_raw.txt     one 'x y theta' line per frame
+
+    ``frames`` is an iterable of (H, W) arrays; ``odo`` is (n, 3).
+    ``gt`` (optional, (n, 3)) writes a ground-truth trajectory to
+    <root>/gt.txt — an extension over the reference layout so disk runs
+    can report ATE. Returns the dataset root (<parent>/<name>).
+    """
+    from PIL import Image
+
+    root = os.path.join(parent, dataset_name)
+    img_dir = os.path.join(root, "image")
+    os.makedirs(img_dir, exist_ok=True)
+
+    n = 0
+    for i, frame in enumerate(frames):
+        arr = np.clip(np.asarray(frame), 0, 255).astype(np.uint8)
+        Image.fromarray(arr, mode="L").save(
+            os.path.join(img_dir, f"{i}.bmp"), format="BMP"
+        )
+        n += 1
+    odo = np.asarray(odo, np.float64)
+    with open(os.path.join(root, "odo_raw.txt"), "w") as f:
+        for i in range(min(n, len(odo))):
+            f.write(f"{odo[i, 0]:.6f} {odo[i, 1]:.6f} {odo[i, 2]:.6f}\n")
+    if gt is not None:
+        gt = np.asarray(gt, np.float64)
+        with open(os.path.join(root, "gt.txt"), "w") as f:
+            for i in range(min(n, len(gt))):
+                f.write(f"{gt[i, 0]:.6f} {gt[i, 1]:.6f} {gt[i, 2]:.6f}\n")
+
+    K = np.array(
+        [[cfg.fx, 0, cfg.cx], [0, cfg.fy, cfg.cy], [0, 0, 1]], np.float64
+    )
+    D = np.asarray(cfg.dist, np.float64)
+    # extrinsic back to Rodrigues rvec + tvec (inverse of from_yaml)
+    Tbc = np.asarray(cfg.Tbc_mat, np.float64)
+    R = Tbc[:3, :3]
+    cos_t = (np.trace(R) - 1.0) / 2.0
+    theta = float(np.arccos(np.clip(cos_t, -1.0, 1.0)))
+    if theta < 1e-12:
+        rvec = np.zeros(3)
+    else:
+        axis = np.array(
+            [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+        ) / (2.0 * np.sin(theta))
+        rvec = axis * theta
+    tvec = Tbc[:3, 3]
+
+    with open(os.path.join(parent, "CamConfig.yml"), "w") as f:
+        f.write("%YAML:1.0\n---\n")
+        f.write(f"image_width: {cfg.width}\n")
+        f.write(f"image_height: {cfg.height}\n")
+        f.write(_cv_yaml_matrix("camera_matrix", K))
+        f.write(_cv_yaml_matrix("distortion_coefficients", D))
+        f.write(_cv_yaml_matrix("rvec_b_c", rvec))
+        f.write(_cv_yaml_matrix("tvec_b_c", tvec))
+
+    with open(os.path.join(parent, "Settings.yml"), "w") as f:
+        f.write("%YAML:1.0\n---\n")
+        for key, val in (
+            ("fps", cfg.fps),
+            ("upper_depth", cfg.upper_depth),
+            ("lower_depth", cfg.lower_depth),
+            ("odo_x_uncertain", cfg.odo_x_uncertain),
+            ("odo_y_uncertain", cfg.odo_y_uncertain),
+            ("odo_theta_uncertain", cfg.odo_t_uncertain),
+            ("odo_x_steady_noise", cfg.odo_x_noise),
+            ("odo_y_steady_noise", cfg.odo_y_noise),
+            ("odo_theta_steady_noise", cfg.odo_t_noise),
+            ("plane_motion_xrot_info", cfg.plane_motion_xrot_info),
+            ("plane_motion_yrot_info", cfg.plane_motion_yrot_info),
+            ("plane_motion_z_info", cfg.plane_motion_z_info),
+            ("th_huber2", cfg.th_huber2),
+            ("local_iter", cfg.local_iter),
+            ("global_iter", cfg.global_iter),
+            ("max_feature_num", cfg.max_feature_num),
+            ("scale_facotr", cfg.scale_factor),   # [sic] Config.cpp:137
+            ("max_level", cfg.max_level),
+        ):
+            f.write(f"{key}: {val}\n")
+    return root
 
 
 class DatasetRoom:

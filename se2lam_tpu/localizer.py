@@ -77,6 +77,21 @@ def _project_and_match(ms: MapState, feats: OrbFeatures, pose, cfg: SystemConfig
 
 
 @jax.jit
+def _covis_kf_count(ms: MapState, feat_match):
+    """Number of valid keyframes observing any matched map point — the
+    Localizer's local covisible-KF set size, whose emptiness defines
+    'lost' (Localizer::DetectIfLost, src/Localizer.cpp:304-313 via
+    UpdateCovisKFCurr)."""
+    sel = feat_match >= 0
+    obs = ms.mp_obs_kf[jnp.clip(feat_match, 0)]        # (N, P)
+    ok = sel[:, None] & (obs >= 0) & ms.kf_valid[jnp.clip(obs, 0)]
+    seen = jnp.zeros((ms.K,), bool).at[
+        jnp.where(ok, obs, ms.K)
+    ].set(True, mode="drop")
+    return jnp.sum(seen.astype(jnp.int32))
+
+
+@jax.jit
 def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key):
     """Descriptor match + RANSAC inlier count vs a candidate keyframe
     (Localizer::VerifyLoopClose, src/Localizer.cpp:394-431).
@@ -207,7 +222,13 @@ class Localizer:
                     Tcb,
                     iters=30,
                 )
-                if int(n_in) >= self.min_tracked_matches:
+                # lost detection (Localizer::DetectIfLost,
+                # src/Localizer.cpp:304-313): tracked iff the local
+                # covisible-KF set is nonempty — i.e. some valid keyframe
+                # observes a matched map point — on top of the inlier gate
+                n_covis = _covis_kf_count(self.ms, feat_match)
+                n_in, n_covis = map(int, jax.device_get((n_in, n_covis)))
+                if n_in >= self.min_tracked_matches and n_covis > 0:
                     self._accept(pose, odo, tracked=True)
                     return np.asarray(pose)
             self.lost = True

@@ -215,8 +215,9 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             bx = jnp.zeros((Mb, 3), dtype).at[mp].add(
                 -jnp.einsum("oab,ob->oa", JxW, r_o)
             )
-            Hpx = jnp.zeros((K, Mb, 3, 3), dtype).at[
-                dp.obs_kf, mp
+            # (K, 3, Mb, 3) layout — see solver.ba.schur_reduce
+            Hpx = jnp.zeros((K, 3, Mb, 3), dtype).at[
+                dp.obs_kf, :, mp, :
             ].add(JpW @ Jx)
             Hpp_p = jnp.zeros((K, K, 3, 3), dtype).at[
                 dp.obs_kf, dp.obs_kf
@@ -273,7 +274,7 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             dpose = (dpose * free3).reshape(K, 3)
 
             # local back-substitution for the owned point block
-            rhs_x = bx - jnp.einsum("kmab,ka->mb", Hpx, dpose)
+            rhs_x = bx - jnp.einsum("kamb,ka->mb", Hpx, dpose)
             dx = jnp.einsum("mab,mb->ma", Hxx_inv, rhs_x)
             dx = jnp.where(pv_sh[:, None], dx, 0.0)
             return dpose, dx, chi2

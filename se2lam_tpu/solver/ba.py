@@ -149,9 +149,13 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
     bp = jnp.zeros((K, 3), prob.poses.dtype).at[prob.obs_kf].add(bp_o)
 
     # pose-point coupling, dense over (K, M): the local window is small so
-    # this is a few MB and feeds the MXU directly
-    Hpx = jnp.zeros((K, M, 3, 3), prob.poses.dtype).at[
-        prob.obs_kf, prob.obs_mp
+    # this is a few MB and feeds the MXU directly. Layout (K, 3, M, 3) —
+    # [k,a],[m,b] — so the Pallas Schur kernel's (3K, 3M) view is a FREE
+    # reshape (the (K,M,3,3) layout needs a strided transpose that costs
+    # more than the whole reduction; measured 7 ms vs 0.16 ms at bank
+    # scale)
+    Hpx = jnp.zeros((K, 3, M, 3), prob.poses.dtype).at[
+        prob.obs_kf, :, prob.obs_mp, :
     ].add(Hpx_o)
 
     # --- odometry edges ---
@@ -179,22 +183,22 @@ PALLAS_SCHUR_MIN_M = 2048
 
 def schur_reduce(Hpp, bp, Hpx, Hxx_inv, bx):
     """Point-block elimination: S = Hpp − Hpx·Hxx⁻¹·Hpxᵀ and the reduced
-    rhs b = bp − Hpx·Hxx⁻¹·bx.
+    rhs b = bp − Hpx·Hxx⁻¹·bx. ``Hpx`` is (K, 3, M, 3) — [k,a],[m,b].
 
     Routes at trace time: bank-scale problems on TPU go through the
     fused Pallas kernel (solver/pallas_schur.py — the T = Hpx·Hxx⁻¹
     intermediate never touches HBM); window-scale problems use the
     einsum pair, which XLA maps straight onto the MXU."""
-    M = Hpx.shape[1]
+    M = Hpx.shape[2]
     if M >= PALLAS_SCHUR_MIN_M and jax.default_backend() == "tpu":
         from .pallas_schur import schur_reduce_pallas
 
         S_red = schur_reduce_pallas(Hpx, Hxx_inv)
         y = jnp.einsum("mab,mb->ma", Hxx_inv, bx)
-        return Hpp - S_red, bp - jnp.einsum("kmab,mb->ka", Hpx, y)
-    T = jnp.einsum("kmab,mbc->kmac", Hpx, Hxx_inv)          # (K,M,3,3)
-    S_red = jnp.einsum("kmab,lmcb->klac", T, Hpx)           # (K,K,3,3)
-    return Hpp - S_red, bp - jnp.einsum("kmab,mb->ka", T, bx)
+        return Hpp - S_red, bp - jnp.einsum("kamb,mb->ka", Hpx, y)
+    T = jnp.einsum("kamb,mbc->kamc", Hpx, Hxx_inv)          # (K,3,M,3)
+    S_red = jnp.einsum("kamb,lcmb->klac", T, Hpx)           # (K,K,3,3)
+    return Hpp - S_red, bp - jnp.einsum("kamb,mb->ka", T, bx)
 
 
 def _fix_gauge(Hpp_d, bp_d, free3):
@@ -247,7 +251,7 @@ def _solve_inner(prob, cam, Tcb, cfg, lam):
     dp = (dp * free3).reshape(K, 3)
 
     # back-substitute points: dx = Hxx⁻¹ (bx − Hpxᵀ dp)
-    rhs_x = bx - jnp.einsum("kmab,ka->mb", Hpx, dp)
+    rhs_x = bx - jnp.einsum("kamb,ka->mb", Hpx, dp)
     dx = jnp.einsum("mab,mb->ma", Hxx_inv, rhs_x)
     dx = jnp.where(prob.point_valid[:, None], dx, 0.0)
     return dp, dx, chi2

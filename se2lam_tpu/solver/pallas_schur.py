@@ -89,14 +89,17 @@ def _pad_axis(x, mult, axis):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def schur_reduce_pallas(Hpx, Hxx_inv, interpret: bool = False):
-    """S_red (K, K, 3, 3) = Σ_m Hpx[:,m]·Hxx⁻¹[m]·Hpx[:,m]ᵀ, fused.
+    """S_red (K, K, 3, 3) = Σ_m Hpx[k,:,m,:]·Hxx⁻¹[m]·Hpx[l,:,m,:]ᵀ, fused.
 
-    Hpx: (K, M, 3, 3) pose–point coupling blocks.
+    Hpx: (K, 3, M, 3) pose–point coupling blocks in [k,a],[m,b] layout —
+    the (3K, 3M) matrix view is then a FREE row-major reshape (the
+    natural (K, M, 3, 3) layout needs a strided transpose costing ~40×
+    the whole reduction at bank scale).
     Hxx_inv: (M, 3, 3) inverted (damped) point blocks.
     """
-    K, M = Hpx.shape[0], Hpx.shape[1]
+    K, M = Hpx.shape[0], Hpx.shape[2]
     dtype = Hpx.dtype
-    A = Hpx.transpose(0, 2, 1, 3).reshape(3 * K, 3 * M)
+    A = Hpx.reshape(3 * K, 3 * M)
     X = jnp.zeros((3 * M, 8), dtype)
     X = X.at[:, :3].set(Hxx_inv.reshape(3 * M, 3))
 

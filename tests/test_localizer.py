@@ -103,3 +103,76 @@ def test_localizer_trajectory_csv(built_map, tmp_path):
     loc.save_trajectory(str(out))
     lines = out.read_text().strip().splitlines()
     assert len(lines) == 3
+
+
+def test_localizer_pruned_kf_rows_cannot_win(built_map):
+    """Relocalization against a map whose top BoW candidate was pruned:
+    the pruned keyframe's bank row is all-zero after rebuild, scores
+    -inf (vocab.bow_score zero-row guard) and must never be selected —
+    the localizer still relocalizes via the next-best candidate."""
+    import jax.numpy as jnp
+
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+
+    gt = world.circle_trajectory(60)
+    probe = 20
+    # find the keyframe that WOULD win for this probe frame
+    loc0 = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    from se2lam_tpu import vocab as vocab_mod
+
+    feats = loc0._extract(np.asarray(world.render(gt[probe]), np.float32))
+    v, _ = vocab_mod.bow_transform(vocab, feats.desc_pm1, feats.valid)
+    scores = jnp.where(ms.kf_valid, vocab_mod.bow_score(loc0.bank, v), -jnp.inf)
+    best = int(jnp.argmax(scores))
+
+    # prune it: invalidate the KF + its features (what prune does)
+    ms2 = ms._replace(
+        kf_valid=ms.kf_valid.at[best].set(False),
+        kf_feat_valid=ms.kf_feat_valid.at[best].set(False),
+    )
+    loc = Localizer(cfg, ms2, vocab, reloc_min_inliers=30)
+    assert float(loc.bank[best].sum()) == 0.0     # zeroed, not stale
+    odo = world.odometry(gt, noise=(0.001, 0.001, 0.0005), seed=9)
+    n_localized = 0
+    for i in range(probe, probe + 8):
+        p = loc.process(world.render(gt[i]), odo[i])
+        if p is not None:
+            n_localized += 1
+    assert n_localized >= 4, "pruned-candidate map failed to relocalize"
+
+
+def test_localizer_scale_change_revisit(built_map):
+    """Revisit from a different distance (scale change): the map was
+    built on a radius-2.5 circle; localize from poses pulled toward the
+    center (farther from the walls), where features appear at coarser
+    octaves — the octave-gated projection matching must still track."""
+    import jax.numpy as jnp
+
+    from se2lam_tpu.ops import se2
+
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+    loc = Localizer(cfg, ms, vocab, reloc_min_inliers=25,
+                    min_tracked_matches=8)
+
+    gt = world.circle_trajectory(60)          # map-building radius 2.5
+    gt_in = world.circle_trajectory(60, radius=1.7)   # pulled to center
+    gt0 = jnp.asarray(gt[0])
+    start = 10
+    odo = world.odometry(gt_in, noise=(0.001, 0.001, 0.0005), seed=7)
+    errs = []
+    for i in range(start, start + 16):
+        p = loc.process(world.render(gt_in[i]), odo[i])
+        if p is not None:
+            g = np.asarray(se2.minus(jnp.asarray(gt_in[i]), gt0))
+            errs.append(np.linalg.norm(p[:2] - g[:2]))
+    # matching must stay alive across the scale change (octave gates),
+    # and the pose must not diverge. NOTE: the error magnitude is
+    # dominated by monocular depth observability — points 3-7 m away
+    # constrain the radial direction weakly from a single view, so a
+    # bias toward the mapped circle of ~60% of the radial offset is
+    # geometry, not a matching failure (measured: 0.19 m at Δr = 0.3,
+    # 0.68 m at Δr = 0.8).
+    assert len(errs) >= 12, f"only {len(errs)} frames localized"
+    assert np.median(errs) < 1.0, f"median err {np.median(errs)}"
