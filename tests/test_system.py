@@ -62,12 +62,15 @@ def test_pipeline_runs_and_builds_map(run_result):
 
 
 def test_ate_bounded(run_result):
-    """SLAM trajectory must stay near ground truth (odometry noise is mild;
-    this bounds gross divergence, the reference's 'looks right in rviz')."""
+    """SLAM trajectory must stay near ground truth — the numeric stand-in
+    for the reference's 'looks right in rviz'. Measured ATE for this
+    fixture is ~0.11 m in a 10 m room; the bound is 2x that, so CI fails
+    on any real accuracy regression (the old 0.5 m bound would have let a
+    ~5x regression through)."""
     slam, world, n = run_result
     est = np.asarray([p for _, p in slam.trajectory])
     rmse, _ = ate_se2(est[:, :2], world.gt[: len(est), :2])
-    assert rmse < 0.5, f"ATE {rmse}"
+    assert rmse < 0.2, f"ATE {rmse}"
 
 
 def test_loop_closes_on_revisit():
