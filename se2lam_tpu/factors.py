@@ -30,7 +30,6 @@ __all__ = [
     "pre_se2_residual",
     "pre_se2_residual_jac",
     "preintegrate_se2",
-    "odo_constraint_info_se3",
     "se3_to_xyz_info",
 ]
 
@@ -244,27 +243,12 @@ def compose_preintegration(meas_a, cov_a, meas_b, cov_b):
     return new_meas, new_cov
 
 
-def odo_constraint_info_se3(d_odo, odo_uncertain, odo_noise):
-    """Diagonal 6x6 information of a raw-odometry SE3 constraint in
-    [trans(3), rot(3)] twist order (Track::calcOdoConstraintCam,
-    src/Track.cpp:224-257 builds diag in [x y z rotx roty rotz] of the
-    body frame; we keep the same diagonal semantics).
-    """
-    dx = d_odo[..., 0] * odo_uncertain[..., 0] + odo_noise[..., 0]
-    dy = d_odo[..., 1] * odo_uncertain[..., 1] + odo_noise[..., 1]
-    dt = d_odo[..., 2] * odo_uncertain[..., 2] + odo_noise[..., 2]
-    vals = jnp.stack(
-        [
-            1.0 / (dx * dx),
-            1.0 / (dy * dy),
-            jnp.full_like(dx, 1e-4),
-            jnp.full_like(dx, 1e-4),
-            jnp.full_like(dx, 1e-4),
-            1.0 / (dt * dt),
-        ],
-        axis=-1,
-    )
-    return vals[..., :, None] * jnp.eye(6, dtype=d_odo.dtype)
+# NOTE: the reference's Track::calcOdoConstraintCam (src/Track.cpp:224-257)
+# builds a 6x6 SE3 information for odometry edges only because its g2o
+# backend lacks SE2 vertex types. Our pose graph is SE2-native — odo-edge
+# information comes straight from the inverted SE2 preintegration
+# covariance (loopclose.py builds chain_info from kf_pre_cov) — so the
+# SE3 diag form has no call site here by design.
 
 
 def _rotation_aligning_z(xyz):

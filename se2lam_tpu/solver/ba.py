@@ -292,14 +292,7 @@ def solve_local_ba(
     return final.poses, final.points, {"chi2": chi, "chi2_init": chi0, "lambda": lam}
 
 
-def mark_outliers(prob: BAProblem, cam: CameraModel, Tcb, chi2_thresh=25.0):
-    """Flag reprojection edges with chi2 above threshold (the reference's
-    removeOutlierChi2 gate, src/LocalMapper.cpp:172-230). Returns updated
-    obs_valid mask."""
-    p = prob.poses[prob.obs_kf]
-    x = prob.points[prob.obs_mp]
-    r = jax.vmap(
-        lambda pp, xx, uu: factors.se2xyz_residual(pp, xx, uu, cam, Tcb)
-    )(p, x, prob.obs_uv)
-    chi2 = jnp.einsum("oi,oij,oj->o", r, prob.obs_info, r)
-    return prob.obs_valid & (chi2 <= chi2_thresh)
+# NOTE: the removeOutlierChi2 gate (src/LocalMapper.cpp:172-230) lives in
+# localmap.remove_outlier_obs, which operates on MapState directly — the
+# same provided-but-unwired status as the reference's commented-out call
+# site (src/LocalMapper.cpp:329).

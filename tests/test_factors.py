@@ -157,13 +157,3 @@ class TestInfoModels:
             assert np.all(ev > 0)
             assert ev[-1] / ev[0] > 3.0  # genuinely anisotropic
 
-    def test_odo_constraint_info(self):
-        info = factors.odo_constraint_info_se3(
-            jnp.asarray([0.5, 0.1, 0.05], jnp.float32),
-            jnp.asarray([0.1, 0.1, 0.1], jnp.float32),
-            jnp.asarray([0.01, 0.01, 0.005], jnp.float32),
-        )
-        m = np.asarray(info)
-        assert m.shape == (6, 6)
-        assert np.count_nonzero(m - np.diag(np.diag(m))) == 0
-        assert np.all(np.diag(m) > 0)
