@@ -86,41 +86,12 @@ def make_problem(rng, K, M, O):
 
 
 def make_pose_graph(rng, K, n_loops=16):
-    import jax
-    import jax.numpy as jnp
+    from se2lam_tpu.solver.posegraph import synthetic_pose_graph
 
-    from se2lam_tpu.ops import se2
-    from se2lam_tpu.solver.posegraph import PoseGraphProblem
-
-    gt = np.cumsum(rng.normal(0.08, 0.02, (K, 3)).astype(np.float32), 0)
-    ei = list(range(K - 1))
-    ej = list(range(1, K))
-    for _ in range(n_loops):
-        a = int(rng.integers(0, K - 30))
-        b = int(rng.integers(a + 25, K))
-        ei.append(a)
-        ej.append(b)
-    ei = np.asarray(ei, np.int32)
-    ej = np.asarray(ej, np.int32)
-    meas = np.asarray(
-        jax.vmap(se2.minus)(jnp.asarray(gt)[ej], jnp.asarray(gt)[ei])
-    ) + rng.normal(0, 0.002, (len(ei), 3)).astype(np.float32)
-    noise = rng.normal(0, 0.03, gt.shape).astype(np.float32)
-    noise[0] = 0
-    return PoseGraphProblem(
-        poses=jnp.asarray(gt + noise),
-        pose_valid=jnp.ones(K, bool),
-        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
-        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
-        edge_meas=jnp.asarray(meas, jnp.float32),
-        edge_info=jnp.broadcast_to(
-            100.0 * jnp.eye(3, dtype=jnp.float32), (len(ei), 3, 3)
-        ),
-        edge_valid=jnp.ones(len(ei), bool),
-    )
+    return synthetic_pose_graph(rng, K, n_random_loops=n_loops)
 
 
-def bench(fn, perturb, reps=5):
+def bench(fn, reps=5):
     """Median wall time of ``fn(r)`` with per-rep distinct inputs."""
     import jax
 
@@ -180,7 +151,7 @@ def main():
             p2 = prob._replace(poses=prob.poses + r * 1e-6)
             return sharded_solve_local_ba(p2, cam, Tcb, cfg, mesh)[:2]
 
-        t_ba = bench(ba_run, prob)
+        t_ba = bench(ba_run)
 
         def pg_run(r):
             p2 = pg._replace(poses=pg.poses + r * 1e-6)
@@ -188,7 +159,7 @@ def main():
                 p2, mesh, iters=args.iters, cg_iters=args.cg_iters
             )[0]
 
-        t_pg = bench(pg_run, pg)
+        t_pg = bench(pg_run)
 
         rows.append({"devices": n, "ba_time_s": round(t_ba, 4),
                      "pg_time_s": round(t_pg, 4)})

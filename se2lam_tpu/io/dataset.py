@@ -86,6 +86,17 @@ def write_dataset_room(
     theta = float(np.arccos(np.clip(cos_t, -1.0, 1.0)))
     if theta < 1e-12:
         rvec = np.zeros(3)
+    elif theta > np.pi - 1e-6:
+        # near-pi rotation: the off-diagonal formula divides by
+        # 2 sin(theta) ~ 0; recover |axis| from the diagonal of
+        # R = 2 a a^T - I and the signs from the off-diagonals
+        axis = np.sqrt(np.maximum((np.diag(R) + 1.0) / 2.0, 0.0))
+        i = int(np.argmax(axis))                 # largest, sign-anchor
+        for j in range(3):
+            if j != i and axis[j] > 0:
+                axis[j] *= np.sign(R[i, j] + R[j, i]) or 1.0
+        axis /= max(np.linalg.norm(axis), 1e-12)
+        rvec = axis * theta
     else:
         axis = np.array(
             [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]

@@ -292,9 +292,6 @@ def select_feat_pairs(ms: MapState, k, hops: int = 5, max_cands: int = 4):
     fi = jnp.where(ms.ftr_valid, ms.ftr_i, K)
     fj = jnp.where(ms.ftr_valid, ms.ftr_j, K)
     adj = adj.at[fi, jnp.clip(fj, 0)].max(True, mode="drop")
-    adj = adj.at[jnp.clip(fi, 0, K - 1), fj].max(
-        ms.ftr_valid, mode="drop"
-    )
     adj = adj | adj.T
 
     covis_k = ms.covis[k] & ms.kf_valid & (jnp.arange(K) != k)
@@ -417,16 +414,27 @@ def merge_loop_mps(ms: MapState, k, cand, match_idx):
     dead_c = jnp.clip(dead, 0, M - 1)
     for p in range(P):
         src_kf = ms.mp_obs_kf[dead_c, p]
+        src_live = active & (p < ms.mp_n_obs[dead_c])
         dup = jnp.any(
             ms.mp_obs_kf[jnp.clip(keep, 0, M - 1)] == src_kf[:, None],
             axis=1,
         )
-        src_ok = active & (p < ms.mp_n_obs[dead_c]) & ~dup
+        src_ok = src_live & ~dup
         slot = ms.mp_n_obs[jnp.clip(keep, 0, M - 1)]
         ok = src_ok & (slot < P)
         row = jnp.where(ok, keep, M)
         col = jnp.where(ok, slot, 0)
+        # every live entry's FORWARD pointer was remapped dead→keep in
+        # new_obs above; an entry we do NOT transfer (duplicate-KF skip
+        # or survivor-list overflow) must have that forward pointer
+        # cleared, or kf_obs_mp claims an observation the survivor's
+        # inverse list doesn't record (table-consistency invariant) and
+        # the feature slot is consumed forever
+        dangling = src_live & ~ok
+        fr = jnp.where(dangling, jnp.clip(src_kf, 0), ms.K)
+        fc = jnp.where(dangling, ms.mp_obs_feat[dead_c, p], 0)
         ms = ms._replace(
+            kf_obs_mp=ms.kf_obs_mp.at[fr, fc].set(-1, mode="drop"),
             mp_obs_kf=ms.mp_obs_kf.at[row, col].set(
                 ms.mp_obs_kf[dead_c, p], mode="drop"
             ),

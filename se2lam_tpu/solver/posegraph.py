@@ -20,7 +20,10 @@ import jax.numpy as jnp
 from .. import factors
 from ..ops import se2
 
-__all__ = ["PoseGraphProblem", "solve_pose_graph", "pose_graph_chi2"]
+__all__ = [
+    "PoseGraphProblem", "solve_pose_graph", "pose_graph_chi2",
+    "synthetic_pose_graph",
+]
 
 
 class PoseGraphProblem(NamedTuple):
@@ -32,6 +35,62 @@ class PoseGraphProblem(NamedTuple):
     edge_meas: jnp.ndarray   # (E, 3) relative SE2 (j in i's frame)
     edge_info: jnp.ndarray   # (E, 3, 3)
     edge_valid: jnp.ndarray  # (E,) bool
+
+
+def synthetic_pose_graph(
+    rng,
+    K: int,
+    loop_pairs=None,
+    n_random_loops: int = 0,
+    step_mu: float = 0.08,
+    step_sigma: float = 0.02,
+    meas_noise: float = 0.002,
+    pose_noise: float = 0.03,
+    edge_info_scale: float = 100.0,
+):
+    """Chain + loop-closure fixture shared by tests, benchmarks, and the
+    driver dryrun (one construction so gauge/info conventions can't
+    silently diverge between them).
+
+    ``rng`` is a ``np.random.Generator``. Odometry edges chain 0..K-1;
+    ``loop_pairs`` adds explicit (i, j) closures, ``n_random_loops``
+    samples long-range ones. KF0 is the gauge anchor and its initial
+    noise is zeroed."""
+    import numpy as np
+
+    gt = np.cumsum(
+        rng.normal(step_mu, step_sigma, (K, 3)).astype(np.float32), 0
+    )
+    ei = list(range(K - 1))
+    ej = list(range(1, K))
+    for a, b in (loop_pairs or []):
+        ei.append(int(a))
+        ej.append(int(b))
+    for _ in range(n_random_loops):
+        a = int(rng.integers(0, K - 30))
+        b = int(rng.integers(a + 25, K))
+        ei.append(a)
+        ej.append(b)
+    ei = np.asarray(ei, np.int32)
+    ej = np.asarray(ej, np.int32)
+    E = len(ei)
+    meas = np.asarray(
+        jax.vmap(se2.minus)(jnp.asarray(gt)[ej], jnp.asarray(gt)[ei])
+    ) + rng.normal(0, meas_noise, (E, 3)).astype(np.float32)
+    noise = rng.normal(0, pose_noise, gt.shape).astype(np.float32)
+    noise[0] = 0
+    return PoseGraphProblem(
+        poses=jnp.asarray(gt + noise),
+        pose_valid=jnp.ones(K, bool),
+        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
+        edge_i=jnp.asarray(ei),
+        edge_j=jnp.asarray(ej),
+        edge_meas=jnp.asarray(meas, jnp.float32),
+        edge_info=jnp.broadcast_to(
+            edge_info_scale * jnp.eye(3, dtype=jnp.float32), (E, 3, 3)
+        ),
+        edge_valid=jnp.ones(E, bool),
+    )
 
 
 def _edge_terms(prob: PoseGraphProblem, huber_delta):

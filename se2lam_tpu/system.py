@@ -313,18 +313,29 @@ class SlamSystem:
         pressure event retries."""
         cfg = self.cfg
         ref = jnp.asarray(self._ref_kf_host, jnp.int32)
+        # low-water target: free ~1/8 of the bank per relief event so the
+        # prune + compact + BoW-bank-rebuild cost amortizes over many
+        # insertions — freeing a single slot would re-run the whole
+        # pipeline on every keyframe once the bank first saturates
+        target = cfg.cap.max_kfs - max(1, cfg.cap.max_kfs // 8)
+        n_valid = cfg.cap.max_kfs
         # escalation: relaxed redundancy bars, then marginalize-oldest
         # (min_ratio 0 admits any interior chain KF — its odometry edges
         # splice into one composed preintegration, so the constraint
         # information is kept even though the views are dropped)
         for ratio in (0.8, 0.7, 0.6, 0.0):
-            for _ in range(3):
-                self.ms, _ = localmap.prune_redundant_kf(
-                    self.ms, ref, protect=self._ref_kf_host,
-                    cfg=cfg, min_ratio=ratio,
-                )
-            # one sync per escalation step (rare path)
-            if int(jnp.sum(self.ms.kf_valid)) < cfg.cap.max_kfs:
+            while n_valid > target:
+                for _ in range(3):
+                    self.ms, _ = localmap.prune_redundant_kf(
+                        self.ms, ref, protect=self._ref_kf_host,
+                        cfg=cfg, min_ratio=ratio,
+                    )
+                # one sync per prune chunk (rare path)
+                new_valid = int(jnp.sum(self.ms.kf_valid))
+                if new_valid == n_valid:
+                    break                 # no progress at this bar
+                n_valid = new_valid
+            if n_valid <= target:
                 break
         old_kf_pose = np.asarray(jax.device_get(self.ms.kf_pose))
         self.ms, kf_perm, _mp_perm = localmap.compact_map(self.ms)
@@ -375,9 +386,30 @@ class SlamSystem:
                     np.arctan2(np.sin(th), np.cos(th)),
                 ], np.float32)))
         self._frame_anchors = anchors
-        if self._loop_closer is not None and self._loop_closer.vocab is not None:
+        lc = self._loop_closer
+        if lc is not None and lc.vocab is not None:
             # bank rows move with their keyframes
-            self._loop_closer.adopt_vocab(self._loop_closer.vocab, self.ms)
+            lc.adopt_vocab(lc.vocab, self.ms)
+        if lc is not None and lc.last_loop is not None:
+            # the temporal loop throttle compares KF slot ids (slots are
+            # insertion-ordered); stale pre-compaction ids would suppress
+            # detection indefinitely under sustained capacity pressure
+            def new_slot(old: int) -> int:
+                if old < len(kf_perm) and kf_perm[old] >= 0:
+                    return int(kf_perm[old])
+                # compacted away: its rank among survivors preserves the
+                # throttle's insertion-order semantics
+                return int(np.sum(kf_perm[:old] >= 0))
+
+            alive = all(
+                o < len(kf_perm) and kf_perm[o] >= 0 for o in lc.last_loop
+            )
+            lc.last_loop = (
+                new_slot(lc.last_loop[0]), new_slot(lc.last_loop[1])
+            )
+            if not alive:
+                lc.last_loop_midx = None  # viz pane must not draw a
+                # different keyframe's matches
 
     def _insert_keyframe(self, feats: OrbFeatures, odo):
         cfg, ts = self.cfg, self.ts

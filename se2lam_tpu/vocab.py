@@ -93,6 +93,11 @@ def train_vocab(
     document (a degenerate corpus — fine for unit fixtures, wrong for
     loop-closure calibration)."""
     D = desc_pm1.shape[0]
+    if doc_ids is not None and n_docs_cap is None:
+        raise ValueError(
+            "train_vocab: doc_ids requires a static n_docs_cap (an upper "
+            "bound on the number of documents) for the idf scatter shape"
+        )
     key = jax.random.PRNGKey(0) if key is None else key
     # init: random valid descriptors as seeds
     probs = valid.astype(jnp.float32)

@@ -99,36 +99,12 @@ def test_partition_points_buckets_and_drops():
 
 
 def _make_pose_graph(K=64, n_loops=3, seed=0):
-    rng = np.random.default_rng(seed)
-    gt = np.cumsum(rng.normal(0.1, 0.05, (K, 3)).astype(np.float32), 0)
-    ei = list(range(K - 1))
-    ej = list(range(1, K))
-    loop_pairs = [(0, K - 20), (5, K - 8), (10, K - 1)][:n_loops]
-    for a, b in loop_pairs:
-        ei.append(a)
-        ej.append(b)
-    ei = np.asarray(ei, np.int32)
-    ej = np.asarray(ej, np.int32)
-    meas = np.stack(
-        [
-            np.asarray(se2.minus(jnp.asarray(gt[b]), jnp.asarray(gt[a])))
-            for a, b in zip(ei, ej)
-        ]
-    ) + rng.normal(0, 0.002, (len(ei), 3)).astype(np.float32)
-    E = len(ei)
-    noise = rng.normal(0, 0.05, gt.shape).astype(np.float32)
-    noise[0] = 0
-    return PoseGraphProblem(
-        poses=jnp.asarray(gt + noise),
-        pose_valid=jnp.ones(K, bool),
-        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
-        edge_i=jnp.asarray(ei),
-        edge_j=jnp.asarray(ej),
-        edge_meas=jnp.asarray(meas, jnp.float32),
-        edge_info=jnp.broadcast_to(
-            100.0 * jnp.eye(3, dtype=jnp.float32), (E, 3, 3)
-        ),
-        edge_valid=jnp.ones(E, bool),
+    from se2lam_tpu.solver.posegraph import synthetic_pose_graph
+
+    return synthetic_pose_graph(
+        np.random.default_rng(seed), K,
+        loop_pairs=[(0, K - 20), (5, K - 8), (10, K - 1)][:n_loops],
+        step_mu=0.1, step_sigma=0.05, pose_noise=0.05,
     )
 
 

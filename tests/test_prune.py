@@ -33,6 +33,17 @@ def check_consistency(ms):
             k, f = obs_kf[m, p], obs_ft[m, p]
             assert k >= 0 and kv[k], (m, p, k)
             assert kf_obs[k, f] == m, (m, p, k, f, kf_obs[k, f])
+    # forward → inverse: every claimed observation must appear in the
+    # point's observer list (catches dangling forward pointers)
+    for k in np.nonzero(kv)[0]:
+        for f in np.nonzero(kf_obs[k] >= 0)[0]:
+            m = kf_obs[k, f]
+            assert mv[m], (k, f, m)
+            recorded = any(
+                obs_kf[m, p] == k and obs_ft[m, p] == f
+                for p in range(n_obs[m])
+            )
+            assert recorded, (k, f, m)
 
 
 def test_prune_removes_redundant_kf(rng):
