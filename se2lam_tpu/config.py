@@ -172,6 +172,9 @@ class SystemConfig:
     gm_vcl_ratio_min_match_mp: float = 0.05
     gm_dcl_min_kfid_offset: int = 20
     gm_dcl_min_score_best: float = 0.005
+    # joint full-map pose+point LM refinement after each loop closure
+    # (beyond the reference's pose-graph-only GlobalBA; 0 disables)
+    gm_joint_ba_iters: int = 5
 
     # map IO (src/Config.cpp:165-176)
     use_prev_map: bool = False
@@ -276,6 +279,7 @@ class SystemConfig:
             gm_vcl_ratio_min_match_mp=g("gm_vcl_ratio_min_match_kp", 0.05),
             gm_dcl_min_kfid_offset=g("gm_dcl_min_kfid_offset", 20, int),
             gm_dcl_min_score_best=g("gm_dcl_min_score_best", 0.005),
+            gm_joint_ba_iters=g("gm_joint_ba_iters", 5, int),
             use_prev_map=bool(g("USE_PREV_MAP", 0, int)),
             save_new_map=bool(g("SAVE_NEW_MAP", 1, int)),
             localization_only=bool(g("LOCALIZATION_ONLY", 0, int)),

@@ -715,6 +715,31 @@ def local_graph_masks(ms: MapState, cur_kf, hops: int = 2):
 # Local BA assembly + write-back
 # ---------------------------------------------------------------------------
 
+def obs_sigma_info(p_o, x_o, Tcw_o, octave_o, obs_valid, cfg, cam):
+    """Per-observation 2x2 information from the plane-motion-marginalized
+    measurement covariance (src/Map.cpp:1024-1049): pyramid-level pixel
+    sigma plus the marginalized x-rotation/z-translation prior terms.
+    Behind-camera or invalid observations get identity Sigma and are
+    masked out of the returned validity."""
+    dtype = p_o.dtype
+    lc_o = jax.vmap(se3.apply)(Tcw_o, x_o)
+    sigma2_uv = jnp.asarray(cfg.level_sigma2, dtype)[
+        jnp.clip(octave_o, 0, cfg.max_level - 1)
+    ]
+    Sigma = jax.vmap(
+        lambda pp, xx, ll, tt, ss: factors.se2xyz_sigma(
+            pp, xx, ll, cam, tt, ss,
+            1.0 / cfg.plane_motion_xrot_info,
+            1.0 / cfg.plane_motion_z_info,
+        )
+    )(p_o, x_o, lc_o, Tcw_o, sigma2_uv)
+    safe = obs_valid & (lc_o[..., 2] > 1e-3)
+    Sigma = jnp.where(
+        safe[:, None, None], Sigma, jnp.eye(2, dtype=dtype)[None]
+    )
+    return linalg.inv2x2(Sigma), safe
+
+
 class LocalWindow(NamedTuple):
     prob: BAProblem
     win_kf: jnp.ndarray    # (W,) map KF slot per window slot (garbage if invalid)
@@ -801,28 +826,11 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
     octave_o = ms.kf_octave[win_kf].reshape(-1)[sel]
 
     # marginalized plane-motion measurement info (src/Map.cpp:1024-1049)
-    p_o = poses[obs_kf_idx]
-    x_o = points[obs_mp_idx]
     Tcw_w = jax.vmap(lambda p: kf_Tcw(p, Tcb))(poses)      # (W, 4, 4)
-    Tcw_o = Tcw_w[obs_kf_idx]
-    lc_o = jax.vmap(se3.apply)(Tcw_o, x_o)
-    sigma2_uv = jnp.asarray(cfg.level_sigma2, dtype)[
-        jnp.clip(octave_o, 0, cfg.max_level - 1)
-    ]
-    Sigma = jax.vmap(
-        lambda pp, xx, ll, tt, ss: factors.se2xyz_sigma(
-            pp, xx, ll, cam, tt, ss,
-            1.0 / cfg.plane_motion_xrot_info,
-            1.0 / cfg.plane_motion_z_info,
-        )
-    )(p_o, x_o, lc_o, Tcw_o, sigma2_uv)
-    # guard: behind-camera or invalid obs get identity Sigma
-    safe = obs_valid & (lc_o[..., 2] > 1e-3)
-    Sigma = jnp.where(
-        safe[:, None, None], Sigma, jnp.eye(2, dtype=dtype)[None]
+    obs_info, obs_valid = obs_sigma_info(
+        poses[obs_kf_idx], points[obs_mp_idx], Tcw_w[obs_kf_idx],
+        octave_o, obs_valid, cfg, cam,
     )
-    obs_info = linalg.inv2x2(Sigma)
-    obs_valid = safe
 
     # --- odometry edges along the preintegration chain ---
     nxt = ms.kf_pre_next[win_kf]                           # (W,)

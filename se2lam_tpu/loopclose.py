@@ -35,7 +35,10 @@ from .solver.posegraph import PoseGraphProblem, solve_pose_graph
 from .solver.poseonly import solve_pose_only
 from .solver.sparsifier import marginalize_pair_constraint
 
-__all__ = ["LoopCloser", "kf_features", "run_global_ba"]
+__all__ = [
+    "LoopCloser", "kf_features", "run_global_ba",
+    "build_global_ba", "run_global_ba_joint",
+]
 
 
 def kf_features(ms: MapState, k) -> OrbFeatures:
@@ -509,6 +512,120 @@ def run_global_ba(ms: MapState, iters: int = 15):
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def build_global_ba(ms: MapState, cfg: SystemConfig) -> BAProblem:
+    """Assemble the FULL-map joint SE2-XYZ problem: every valid keyframe,
+    every good-parallax map point, every live observation (enumerated
+    from the bounded inverse tables — O = M·P slots, no compaction
+    needed), the odometry preintegration chain, and the accumulated
+    loop/feature SE2 constraints.
+
+    This goes beyond the reference's GlobalBA (src/GlobalMapper.cpp:
+    328-535), which optimizes poses only and re-anchors points rigidly;
+    a joint pose+point refinement is the batch MAP solution the pose
+    graph approximates. On TPU the Schur elimination routes through the
+    Pallas kernel at bank scale (solver/pallas_schur.py)."""
+    K, M = ms.K, ms.M
+    P = ms.mp_obs_kf.shape[1]
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    from .localmap import obs_sigma_info
+
+    kf_sel = ms.kf_valid
+    mp_sel = ms.mp_valid & ms.mp_good_prl
+
+    # observations straight off the inverse tables (consistent with the
+    # forward table by invariant; see tests/test_prune.check_consistency)
+    obs_mp = jnp.repeat(jnp.arange(M, dtype=jnp.int32), P)     # (M*P,)
+    obs_kf_r = ms.mp_obs_kf.reshape(-1)
+    obs_ft_r = ms.mp_obs_feat.reshape(-1)
+    live = (
+        jax.lax.broadcasted_iota(jnp.int32, (M, P), 1)
+        < ms.mp_n_obs[:, None]
+    ).reshape(-1)
+    okf = jnp.clip(obs_kf_r, 0)
+    oft = jnp.clip(obs_ft_r, 0)
+    obs_valid = live & (obs_kf_r >= 0) & mp_sel[obs_mp] & kf_sel[okf]
+
+    poses = ms.kf_pose
+    points = ms.mp_pos
+    Tcw_k = jax.vmap(lambda p: kf_Tcw(p, Tcb))(poses)          # (K, 4, 4)
+    obs_info, obs_valid = obs_sigma_info(
+        poses[okf], points[obs_mp], Tcw_k[okf],
+        ms.kf_octave[okf, oft], obs_valid, cfg, cam,
+    )
+
+    # odometry chain + loop/feature SE2 edges (same graph run_global_ba
+    # feeds the pose-graph solver)
+    nxt = ms.kf_pre_next
+    chain_valid = kf_sel & (nxt >= 0)
+    cov = jnp.where(
+        chain_valid[:, None, None],
+        ms.kf_pre_cov + 1e-10 * jnp.eye(3, dtype=dtype)[None],
+        jnp.eye(3, dtype=dtype)[None],
+    )
+    from .ops import linalg
+    chain_info = linalg.inv3x3(cov)
+    edge_i = jnp.concatenate(
+        [jnp.arange(K, dtype=jnp.int32), jnp.clip(ms.ftr_i, 0)]
+    )
+    edge_j = jnp.concatenate([jnp.clip(nxt, 0), jnp.clip(ms.ftr_j, 0)])
+    edge_meas = jnp.concatenate([ms.kf_pre_meas, ms.ftr_meas])
+    edge_info = jnp.concatenate([chain_info, ms.ftr_info])
+    edge_valid = jnp.concatenate([chain_valid, ms.ftr_valid])
+
+    first_kf = jnp.argmax(kf_sel)            # KF0 gauge
+    fixed = jnp.zeros((K,), bool).at[first_kf].set(True)
+
+    return BAProblem(
+        poses=poses,
+        points=points,
+        pose_valid=kf_sel,
+        pose_fixed=fixed,
+        point_valid=mp_sel,
+        obs_kf=okf,
+        obs_mp=obs_mp,
+        obs_uv=ms.kf_xy[okf, oft],
+        obs_info=obs_info,
+        obs_valid=obs_valid,
+        edge_i=edge_i,
+        edge_j=edge_j,
+        edge_meas=edge_meas,
+        edge_info=edge_info,
+        edge_valid=edge_valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
+    """Joint full-map pose+point LM refinement after a loop closure.
+
+    Runs on the pose-graph-corrected, merge-fused map: the pose graph
+    (run_global_ba) spreads the loop correction along the trajectory,
+    then this polishes poses AND points against the reprojection
+    evidence (the loop's merged points are co-observed by both ends of
+    the loop, so the closure is held by image measurements, not just the
+    single marginalized SE2 edge). Returns (MapState, info)."""
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    prob = build_global_ba(ms, cfg)
+    ba_cfg = BAConfig(
+        iters=iters,
+        huber_delta=float(cfg.th_huber2) ** 0.5,
+        chi2_thresh=cfg.th_huber2,
+        # build_global_ba enumerates observations as the M×P grid of the
+        # inverse tables — let the assembly reshape-sum the point blocks
+        obs_grid_p=int(ms.mp_obs_kf.shape[1]),
+    )
+    poses, points, info = solve_local_ba(prob, cam, Tcb, ba_cfg)
+    free = prob.pose_valid & ~prob.pose_fixed
+    new_kf_pose = jnp.where(free[:, None], poses, ms.kf_pose)
+    new_mp_pos = jnp.where(prob.point_valid[:, None], points, ms.mp_pos)
+    return ms._replace(kf_pose=new_kf_pose, mp_pos=new_mp_pos), info
+
+
 class LoopCloser:
     """Host-driven loop-closing controller (the GlobalMapper thread's
     role). Holds the trained vocabulary and the per-KF BoW bank."""
@@ -686,6 +803,13 @@ class LoopCloser:
         ms = add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
         ms = merge_loop_mps(ms, k, cand, midx)
         ms, gba_info = run_global_ba(ms, iters=self.global_ba_iters)
+        if cfg.gm_joint_ba_iters > 0:
+            # polish poses AND points against the reprojection evidence
+            # (the pose graph only spreads the single loop edge)
+            ms, joint_info = run_global_ba_joint(
+                ms, cfg, iters=cfg.gm_joint_ba_iters
+            )
+            gba_info = {**gba_info, "joint": joint_info}
         self.n_loops_closed += 1
         self.last_loop = (cand, k)
         self.last_loop_midx = midx          # for the debug-image loop pane

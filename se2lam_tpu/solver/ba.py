@@ -69,6 +69,11 @@ class BAConfig(NamedTuple):
     lm_up: float = 10.0
     lm_down: float = 0.5
     eps: float = 1e-9
+    # static layout hint: >0 promises the observation axis is the M×P
+    # grid o = m*P + p (build_global_ba's enumeration of the inverse
+    # observation tables), letting the assembly reshape-sum the point
+    # blocks instead of materializing an (O, M) one-hot
+    obs_grid_p: int = 0
 
 
 def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
@@ -140,23 +145,69 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
     bp_o = -jnp.einsum("oab,ob->oa", JpW, r_o)      # (O, 3)
     bx_o = -jnp.einsum("oab,ob->oa", JxW, r_o)      # (O, 3)
 
-    # --- scatter into dense structures ---
-    Hxx = jnp.zeros((M, 3, 3), prob.points.dtype).at[prob.obs_mp].add(Hxx_o)
-    bx = jnp.zeros((M, 3), prob.points.dtype).at[prob.obs_mp].add(bx_o)
-
-    Hpp = jnp.zeros((K, K, 3, 3), prob.poses.dtype)
-    Hpp = Hpp.at[prob.obs_kf, prob.obs_kf].add(Hpp_o)
-    bp = jnp.zeros((K, 3), prob.poses.dtype).at[prob.obs_kf].add(bp_o)
-
-    # pose-point coupling, dense over (K, M): the local window is small so
-    # this is a few MB and feeds the MXU directly. Layout (K, 3, M, 3) —
-    # [k,a],[m,b] — so the Pallas Schur kernel's (3K, 3M) view is a FREE
-    # reshape (the (K,M,3,3) layout needs a strided transpose that costs
-    # more than the whole reduction; measured 7 ms vs 0.16 ms at bank
-    # scale)
-    Hpx = jnp.zeros((K, 3, M, 3), prob.poses.dtype).at[
-        prob.obs_kf, :, prob.obs_mp, :
-    ].add(Hpx_o)
+    # --- accumulate into dense structures. Two lowerings, routed at
+    #     trace time: TPU uses one-hot MXU matmuls (segment-sum as
+    #     einsum — scatter-add lowers to a serialized sorted-segment op
+    #     on TPU; measured 1.87 ms of scatters vs 0.3 ms of matmuls for
+    #     the whole accumulation at K=48/M=2048/O=8192), CPU keeps the
+    #     scatters (the matmuls do O·(9K+9M) redundant FLOPs there). ---
+    dtype = prob.poses.dtype
+    # HIGHEST keeps the f32 operands out of the MXU's default bf16
+    # truncation — with DEFAULT precision the one-hot accumulation
+    # diverged from the scatter sums by ~2e-3 relative (measured)
+    hi = jax.lax.Precision.HIGHEST
+    diag_idx = jnp.arange(K)
+    if cfg.obs_grid_p > 0:
+        # grid layout (all backends, so CPU tests drive the same path
+        # the TPU joint GBA runs): point accumulation is a free
+        # reshape-sum; pose accumulation one-hots only over K — the
+        # (O, M) one-hot the generic TPU path builds would be O(M²P)
+        # bytes at full-map scale (3.2 GB at M=8192, P=12)
+        P = cfg.obs_grid_p
+        Hxx = jnp.sum(Hxx_o.reshape(M, P, 3, 3), axis=1)
+        bx = jnp.sum(bx_o.reshape(M, P, 3), axis=1)
+        A2 = (
+            prob.obs_kf.reshape(M, P)[:, :, None]
+            == jnp.arange(K)[None, None, :]
+        ).astype(dtype)
+        Hpp_diag = jnp.einsum(
+            "mpk,mpab->kab", A2, Hpp_o.reshape(M, P, 3, 3), precision=hi
+        )
+        Hpp = jnp.zeros((K, K, 3, 3), dtype)
+        Hpp = Hpp.at[diag_idx, diag_idx].add(Hpp_diag)
+        bp = jnp.einsum(
+            "mpk,mpa->ka", A2, bp_o.reshape(M, P, 3), precision=hi
+        )
+        Hpx = jnp.einsum(
+            "mpk,mpab->kamb", A2, Hpx_o.reshape(M, P, 3, 3), precision=hi
+        )
+    elif jax.default_backend() == "tpu":
+        # invalid observations carry W=0 blocks, so their (clipped,
+        # in-range) indices contribute exact zeros — same guarantee the
+        # scatter path relies on
+        A = (jnp.arange(K)[:, None] == prob.obs_kf[None, :]).astype(dtype)
+        Bm = (prob.obs_mp[:, None] == jnp.arange(M)[None, :]).astype(dtype)
+        Hxx = jnp.einsum("om,oab->mab", Bm, Hxx_o, precision=hi)
+        bx = jnp.einsum("om,oa->ma", Bm, bx_o, precision=hi)
+        Hpp_diag = jnp.einsum("ko,oab->kab", A, Hpp_o, precision=hi)
+        Hpp = jnp.zeros((K, K, 3, 3), dtype)
+        Hpp = Hpp.at[diag_idx, diag_idx].add(Hpp_diag)
+        bp = jnp.einsum("ko,oa->ka", A, bp_o, precision=hi)
+        # pose-point coupling in (K, 3, M, 3) layout — [k,a],[m,b] — so
+        # the Pallas Schur kernel's (3K, 3M) view is a FREE reshape (the
+        # (K,M,3,3) layout needs a strided transpose that costs more
+        # than the whole reduction; measured 7 ms vs 0.16 ms at bank
+        # scale)
+        Hpx = jnp.einsum("ko,oab,om->kamb", A, Hpx_o, Bm, precision=hi)
+    else:
+        Hxx = jnp.zeros((M, 3, 3), dtype).at[prob.obs_mp].add(Hxx_o)
+        bx = jnp.zeros((M, 3), dtype).at[prob.obs_mp].add(bx_o)
+        Hpp = jnp.zeros((K, K, 3, 3), dtype)
+        Hpp = Hpp.at[prob.obs_kf, prob.obs_kf].add(Hpp_o)
+        bp = jnp.zeros((K, 3), dtype).at[prob.obs_kf].add(bp_o)
+        Hpx = jnp.zeros((K, 3, M, 3), dtype).at[
+            prob.obs_kf, :, prob.obs_mp, :
+        ].add(Hpx_o)
 
     # --- odometry edges ---
     JiW = jnp.einsum("eab,eac->ebc", Ji, We)        # (E, 3, 3) Jiᵀ W

@@ -172,6 +172,44 @@ class TestLocalBA:
             np.asarray(points_a), np.asarray(points_b[:M]), atol=1e-3
         )
 
+    def test_grid_layout_matches_flat(self, rng):
+        """BAConfig.obs_grid_p promises MP-major grid enumeration
+        (o = m*P + p, build_global_ba's layout); the reshape-sum
+        assembly it enables must reproduce the generic scatter
+        assembly's solution on the same problem."""
+        prob_gt, cam, Tcb = make_problem(rng, K=6, M=24)
+        K, M = prob_gt.poses.shape[0], prob_gt.points.shape[0]
+        # reorder the dense K-major observation grid to MP-major
+        order = (
+            jnp.arange(K * M).reshape(K, M).T.reshape(-1)
+        )
+        prob_gt = prob_gt._replace(
+            obs_kf=prob_gt.obs_kf[order],
+            obs_mp=prob_gt.obs_mp[order],
+            obs_uv=prob_gt.obs_uv[order],
+            obs_info=prob_gt.obs_info[order],
+            obs_valid=prob_gt.obs_valid[order],
+        )
+        dp = rng.normal(0, 0.04, (K, 3)).astype(np.float32)
+        dp[0] = 0
+        dx = rng.normal(0, 0.04, (M, 3)).astype(np.float32)
+        prob = prob_gt._replace(
+            poses=prob_gt.poses + jnp.asarray(dp),
+            points=prob_gt.points + jnp.asarray(dx),
+        )
+        poses_a, points_a, ia = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=8)
+        )
+        poses_b, points_b, ib = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=8, obs_grid_p=K)
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses_a), np.asarray(poses_b), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(points_a), np.asarray(points_b), atol=1e-4
+        )
+
     def test_huber_downweights_outlier(self, rng):
         prob_gt, cam, Tcb = make_problem(rng, K=6, M=24)
         # corrupt a handful of observations grossly
