@@ -27,7 +27,7 @@ from .frontend.matcher import mutual_match
 from .frontend.orb import OrbFeatures
 from .frontend.ransac import ransac_fundamental
 from .mapstate import MAX_FTR_EDGES, MapState, kf_Tcw
-from .ops import se2, se3
+from .ops import linalg, se2, se3
 from .ops.camera import CameraModel
 from . import factors
 from .solver.ba import BAConfig, BAProblem, solve_local_ba
@@ -451,15 +451,17 @@ def merge_loop_mps(ms: MapState, k, cand, match_idx):
     return ms
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def run_global_ba(ms: MapState, iters: int = 15):
-    """Global pose-graph BA over all KFs + MP re-anchoring
-    (GlobalMapper::GlobalBA, src/GlobalMapper.cpp:328-535)."""
+def _global_edge_graph(ms: MapState):
+    """SE2 edge graph over the whole map: the odometry preintegration
+    chain (info = inverted preintegrated covariance) plus the accumulated
+    loop/feature constraints, and the KF0 gauge fix
+    (src/GlobalMapper.cpp:374). Shared by the pose-graph GlobalBA and the
+    joint full-map BA so both solvers optimize the same graph.
+
+    Returns (edge_i, edge_j, edge_meas, edge_info, edge_valid, fixed).
+    """
     K = ms.K
     dtype = ms.kf_pose.dtype
-    old_poses = ms.kf_pose
-
-    # odometry-chain edges
     nxt = ms.kf_pre_next
     chain_valid = ms.kf_valid & (nxt >= 0)
     cov = jnp.where(
@@ -467,7 +469,7 @@ def run_global_ba(ms: MapState, iters: int = 15):
         ms.kf_pre_cov + 1e-10 * jnp.eye(3, dtype=dtype)[None],
         jnp.eye(3, dtype=dtype)[None],
     )
-    chain_info = jnp.linalg.inv(cov)
+    chain_info = linalg.inv3x3(cov)
 
     edge_i = jnp.concatenate([jnp.arange(K, dtype=jnp.int32), ms.ftr_i])
     edge_j = jnp.concatenate([jnp.clip(nxt, 0), ms.ftr_j])
@@ -477,8 +479,19 @@ def run_global_ba(ms: MapState, iters: int = 15):
     edge_i = jnp.clip(edge_i, 0)
     edge_j = jnp.clip(edge_j, 0)
 
-    first_kf = jnp.argmax(ms.kf_valid)       # KF0 gauge (src/GlobalMapper.cpp:374)
+    first_kf = jnp.argmax(ms.kf_valid)       # KF0 gauge
     fixed = jnp.zeros((K,), bool).at[first_kf].set(True)
+    return edge_i, edge_j, edge_meas, edge_info, edge_valid, fixed
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def run_global_ba(ms: MapState, iters: int = 15):
+    """Global pose-graph BA over all KFs + MP re-anchoring
+    (GlobalMapper::GlobalBA, src/GlobalMapper.cpp:328-535)."""
+    old_poses = ms.kf_pose
+    edge_i, edge_j, edge_meas, edge_info, edge_valid, fixed = (
+        _global_edge_graph(ms)
+    )
 
     prob = PoseGraphProblem(
         poses=ms.kf_pose,
@@ -525,7 +538,7 @@ def build_global_ba(ms: MapState, cfg: SystemConfig) -> BAProblem:
     a joint pose+point refinement is the batch MAP solution the pose
     graph approximates. On TPU the Schur elimination routes through the
     Pallas kernel at bank scale (solver/pallas_schur.py)."""
-    K, M = ms.K, ms.M
+    M = ms.M
     P = ms.mp_obs_kf.shape[1]
     dtype = ms.kf_pose.dtype
     cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
@@ -556,27 +569,11 @@ def build_global_ba(ms: MapState, cfg: SystemConfig) -> BAProblem:
         ms.kf_octave[okf, oft], obs_valid, cfg, cam,
     )
 
-    # odometry chain + loop/feature SE2 edges (same graph run_global_ba
-    # feeds the pose-graph solver)
-    nxt = ms.kf_pre_next
-    chain_valid = kf_sel & (nxt >= 0)
-    cov = jnp.where(
-        chain_valid[:, None, None],
-        ms.kf_pre_cov + 1e-10 * jnp.eye(3, dtype=dtype)[None],
-        jnp.eye(3, dtype=dtype)[None],
+    # odometry chain + loop/feature SE2 edges: the exact graph
+    # run_global_ba feeds the pose-graph solver
+    edge_i, edge_j, edge_meas, edge_info, edge_valid, fixed = (
+        _global_edge_graph(ms)
     )
-    from .ops import linalg
-    chain_info = linalg.inv3x3(cov)
-    edge_i = jnp.concatenate(
-        [jnp.arange(K, dtype=jnp.int32), jnp.clip(ms.ftr_i, 0)]
-    )
-    edge_j = jnp.concatenate([jnp.clip(nxt, 0), jnp.clip(ms.ftr_j, 0)])
-    edge_meas = jnp.concatenate([ms.kf_pre_meas, ms.ftr_meas])
-    edge_info = jnp.concatenate([chain_info, ms.ftr_info])
-    edge_valid = jnp.concatenate([chain_valid, ms.ftr_valid])
-
-    first_kf = jnp.argmax(kf_sel)            # KF0 gauge
-    fixed = jnp.zeros((K,), bool).at[first_kf].set(True)
 
     return BAProblem(
         poses=poses,
@@ -622,7 +619,22 @@ def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
     poses, points, info = solve_local_ba(prob, cam, Tcb, ba_cfg)
     free = prob.pose_valid & ~prob.pose_fixed
     new_kf_pose = jnp.where(free[:, None], poses, ms.kf_pose)
-    new_mp_pos = jnp.where(prob.point_valid[:, None], points, ms.mp_pos)
+    # points outside the joint solve (bad parallax, excluded via
+    # point_valid) still ride their main KF rigidly — same re-anchor
+    # run_global_ba applies after moving poses, else a large polish
+    # would leave them with stale positions that remove_outlier_obs
+    # later culls as spurious outliers
+    mk = jnp.clip(ms.mp_main_kf, 0)
+    T_delta = jax.vmap(
+        lambda n, o: se2.to_se3(n) @ se3.inv(se2.to_se3(o))
+    )(new_kf_pose[mk], ms.kf_pose[mk])
+    anchored = jax.vmap(se3.apply)(T_delta, ms.mp_pos)
+    ride = ms.mp_valid & ~prob.point_valid & (ms.mp_main_kf >= 0)
+    new_mp_pos = jnp.where(
+        prob.point_valid[:, None],
+        points,
+        jnp.where(ride[:, None], anchored, ms.mp_pos),
+    )
     return ms._replace(kf_pose=new_kf_pose, mp_pos=new_mp_pos), info
 
 

@@ -74,6 +74,14 @@ class BAConfig(NamedTuple):
     # observation tables), letting the assembly reshape-sum the point
     # blocks instead of materializing an (O, M) one-hot
     obs_grid_p: int = 0
+    # Hessian accumulation lowering when obs_grid_p == 0:
+    #   "auto"    — one-hot on TPU, scatter elsewhere (the measured-best
+    #               lowering per backend; see _assemble)
+    #   "onehot"  — force the one-hot MXU path (lets the CPU test suite
+    #               cover the exact path production local BA takes on the
+    #               chip)
+    #   "scatter" — force .at[].add scatter-adds
+    accum: str = "auto"
 
 
 def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
@@ -181,7 +189,9 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
         Hpx = jnp.einsum(
             "mpk,mpab->kamb", A2, Hpx_o.reshape(M, P, 3, 3), precision=hi
         )
-    elif jax.default_backend() == "tpu":
+    elif cfg.accum == "onehot" or (
+        cfg.accum == "auto" and jax.default_backend() == "tpu"
+    ):
         # invalid observations carry W=0 blocks, so their (clipped,
         # in-range) indices contribute exact zeros — same guarantee the
         # scatter path relies on

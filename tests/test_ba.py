@@ -210,6 +210,33 @@ class TestLocalBA:
             np.asarray(points_a), np.asarray(points_b), atol=1e-4
         )
 
+    def test_onehot_accum_matches_scatter(self, rng):
+        """BAConfig(accum='onehot') forces the one-hot MXU accumulation —
+        the path production local BA takes on the real TPU — so the CPU
+        suite covers its index algebra and precision against the scatter
+        lowering."""
+        prob_gt, cam, Tcb = make_problem(rng, K=6, M=24)
+        K, M = prob_gt.poses.shape[0], prob_gt.points.shape[0]
+        dp = rng.normal(0, 0.04, (K, 3)).astype(np.float32)
+        dp[0] = 0
+        dx = rng.normal(0, 0.04, (M, 3)).astype(np.float32)
+        prob = prob_gt._replace(
+            poses=prob_gt.poses + jnp.asarray(dp),
+            points=prob_gt.points + jnp.asarray(dx),
+        )
+        poses_a, points_a, _ = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=8, accum="scatter")
+        )
+        poses_b, points_b, _ = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=8, accum="onehot")
+        )
+        np.testing.assert_allclose(
+            np.asarray(poses_a), np.asarray(poses_b), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(points_a), np.asarray(points_b), atol=1e-4
+        )
+
     def test_huber_downweights_outlier(self, rng):
         prob_gt, cam, Tcb = make_problem(rng, K=6, M=24)
         # corrupt a handful of observations grossly
