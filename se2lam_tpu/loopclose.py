@@ -30,7 +30,7 @@ from .mapstate import MAX_FTR_EDGES, MapState, kf_Tcw
 from .ops import linalg, se2, se3
 from .ops.camera import CameraModel
 from . import factors
-from .solver.ba import BAConfig, BAProblem, solve_local_ba
+from .solver.ba import BAConfig, BAProblem, obs_chi2, solve_local_ba
 from .solver.posegraph import PoseGraphProblem, solve_pose_graph
 from .solver.poseonly import solve_pose_only
 from .solver.sparsifier import marginalize_pair_constraint
@@ -608,6 +608,16 @@ def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
     cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
     Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
     prob = build_global_ba(ms, cfg)
+    # demote observations already inconsistent at the pose-graph-corrected
+    # input state (the removeOutlierChi2 gate, src/LocalMapper.cpp:172-230,
+    # applied where the reference never needed it: its GlobalBA has no
+    # reprojection edges, ours optimizes against ALL accumulated
+    # observations — stale associations and loop-merge transfers would
+    # otherwise bias the joint objective away from the true trajectory)
+    chi_in = obs_chi2(prob, cam, Tcb)
+    prob = prob._replace(
+        obs_valid=prob.obs_valid & (chi_in < cfg.th_huber2)
+    )
     ba_cfg = BAConfig(
         iters=iters,
         huber_delta=float(cfg.th_huber2) ** 0.5,
@@ -615,6 +625,12 @@ def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
         # build_global_ba enumerates observations as the M×P grid of the
         # inverse tables — let the assembly reshape-sum the point blocks
         obs_grid_p=int(ms.mp_obs_kf.shape[1]),
+        # full-map problems start from an outlier-contaminated state
+        # where the barely-damped GN step overshoots; starting at 1e-4
+        # burns most of a short iteration budget on rejected steps
+        # before lambda grows large enough (measured: 3 of 6 closures
+        # rejected all 5 steps at 1e-4)
+        lm_init_lambda=1e-2,
     )
     poses, points, info = solve_local_ba(prob, cam, Tcb, ba_cfg)
     free = prob.pose_valid & ~prob.pose_fixed

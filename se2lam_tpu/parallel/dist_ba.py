@@ -281,7 +281,7 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
 
         def lm_step(_, state):
             poses, points_sh, lam, last = state
-            dpose, dx, chi2 = solve_inner(
+            dpose, dx, _ = solve_inner(
                 poses, points_sh, dp.point_valid, lam
             )
             new_poses = poses + dpose
@@ -290,11 +290,14 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             )
             new_points = points_sh + dx
             new_chi2 = robust_cost(new_poses, new_points)
-            accept = new_chi2 < chi2
+            # accept on the SAME robust objective carried across
+            # iterations (solve_inner's chi2 is raw — raw >= robust, so
+            # comparing against it would accept robust-increasing steps)
+            accept = new_chi2 < last
             poses = jnp.where(accept, new_poses, poses)
             points_sh = jnp.where(accept, new_points, points_sh)
             lam = jnp.where(accept, lam * cfg.lm_down, lam * cfg.lm_up)
-            return poses, points_sh, lam, jnp.where(accept, new_chi2, chi2)
+            return poses, points_sh, lam, jnp.where(accept, new_chi2, last)
 
         lam0 = jnp.asarray(cfg.lm_init_lambda, dtype)
         chi0 = robust_cost(dp.poses, dp.points)

@@ -33,7 +33,7 @@ from .. import factors
 from ..ops import linalg
 from ..ops.camera import CameraModel
 
-__all__ = ["BAProblem", "BAConfig", "solve_local_ba", "ba_chi2"]
+__all__ = ["BAProblem", "BAConfig", "solve_local_ba", "ba_chi2", "obs_chi2"]
 
 
 class BAProblem(NamedTuple):
@@ -113,6 +113,14 @@ def _edge_blocks(prob: BAProblem):
     )
     chi2 = jnp.einsum("ei,eij,ej->e", r, prob.edge_info, r)
     return r, Ji, Jj, W, chi2
+
+
+def obs_chi2(prob: BAProblem, cam: CameraModel, Tcb):
+    """Per-observation chi2 at the problem's current state — the
+    removeOutlierChi2 statistic (src/LocalMapper.cpp:172-230), used to
+    demote stale/mismatched observations before a full-map joint solve."""
+    _, _, _, _, chi_o = _obs_blocks(prob, cam, Tcb, jnp.inf)
+    return chi_o
 
 
 def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
@@ -330,7 +338,7 @@ def solve_local_ba(
 
     def step(_, state):
         prob_k, lam, last_chi2 = state
-        dp, dx, chi2 = _solve_inner(prob_k, cam, Tcb, cfg, lam)
+        dp, dx, _ = _solve_inner(prob_k, cam, Tcb, cfg, lam)
         new_poses = prob_k.poses + dp
         new_poses = new_poses.at[..., 2].set(
             se2.normalize_angle(new_poses[..., 2])
@@ -338,12 +346,16 @@ def solve_local_ba(
         new_points = prob_k.points + dx
         cand = prob_k._replace(poses=new_poses, points=new_points)
         new_chi2 = ba_chi2(cand, cam, Tcb, cfg.huber_delta)
-        accept = new_chi2 < chi2
+        # accept on the SAME robust objective, carried across iterations
+        # (comparing against _assemble's raw chi2 would bias toward
+        # accepting steps that increase the robust cost: raw >= robust
+        # always, grossly so when outliers are present)
+        accept = new_chi2 < last_chi2
         out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), cand, prob_k
         )
         lam = jnp.where(accept, lam * cfg.lm_down, lam * cfg.lm_up)
-        return out, lam, jnp.where(accept, new_chi2, chi2)
+        return out, lam, jnp.where(accept, new_chi2, last_chi2)
 
     lam0 = jnp.asarray(cfg.lm_init_lambda, prob.poses.dtype)
     chi0 = ba_chi2(prob, cam, Tcb, cfg.huber_delta)
