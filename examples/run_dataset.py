@@ -144,11 +144,17 @@ def main():
     if not args.synthetic and args.dataset:
         gt_path = os.path.join(args.dataset, "gt.txt")
         if os.path.exists(gt_path):
-            gt = np.loadtxt(gt_path)[: len(est)]
+            gt = np.atleast_2d(np.loadtxt(gt_path))
+            # a hand-made gt.txt may be shorter than the image sequence;
+            # truncate BOTH sides to the common prefix (ate_se2 requires
+            # equal shapes)
+            n_common = min(len(est), len(gt))
+            gt = gt[:n_common]
             named["ground truth"] = gt[:, :2]
-            rmse, _ = ate_se2(est[:, :2], gt[:, :2])
+            rmse, _ = ate_se2(est[:n_common, :2], gt[:, :2])
             corr = slam.corrected_trajectory()
-            rmse_c, _ = ate_se2(corr[:, 1:3], gt[: len(corr), :2])
+            n_corr = min(len(corr), len(gt))
+            rmse_c, _ = ate_se2(corr[:n_corr, 1:3], gt[:n_corr, :2])
             print(f"ATE (SE2-aligned RMSE): {rmse:.4f} m live, "
                   f"{rmse_c:.4f} m retro-corrected")
             import json as _json

@@ -676,6 +676,11 @@ class LoopCloser:
         # (TemplatedVocabulary.h:1478). O(log K) retrainings total.
         self.min_kfs_to_train = min_kfs_to_train
         self.retrain_factor = retrain_factor
+        # retrain bookkeeping counts keyframe INSERTIONS (monotonic),
+        # not live slots: capacity compaction reuses slots and caps the
+        # live count below max_kfs, which would otherwise make the
+        # grow-by-retrain_factor trigger unreachable forever
+        self._n_inserts = 0
         self._trained_at_nkf = 0
         self.global_ba_iters = (
             cfg.global_iter if global_ba_iters is None else global_ba_iters
@@ -700,18 +705,21 @@ class LoopCloser:
             lambda d, m: vocab_mod.bow_transform(vocab, d, m)
         )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
         self.bank = v
-        # an externally adopted vocabulary counts as trained on the
-        # current map size (prevents an immediate retrain on resume)
-        self._trained_at_nkf = max(self._trained_at_nkf, int(ms.n_kf))
+        # an externally adopted vocabulary counts as trained now
+        # (prevents an immediate retrain on resume/compaction); seed the
+        # insertion counter from the map so a resumed session schedules
+        # its next retrain relative to the loaded map's size
+        self._n_inserts = max(self._n_inserts, int(ms.n_kf))
+        self._trained_at_nkf = max(self._trained_at_nkf, self._n_inserts)
 
-    def _ensure_vocab(self, ms: MapState, n_kf: int):
+    def _ensure_vocab(self, ms: MapState, n_inserts: int):
         fresh_enough = (
             self.vocab is not None
-            and n_kf < self._trained_at_nkf * self.retrain_factor
+            and n_inserts < self._trained_at_nkf * self.retrain_factor
         )
         if fresh_enough:
             return True
-        if n_kf < self.min_kfs_to_train:
+        if n_inserts < self.min_kfs_to_train:
             return self.vocab is not None
         # (re)train on all live keyframes; document idf per DBoW2
         # (one descriptor row block per keyframe = one document)
@@ -727,7 +735,7 @@ class LoopCloser:
             ),
             ms,
         )   # adopt re-scores the whole bank under the new vocabulary
-        self._trained_at_nkf = n_kf
+        self._trained_at_nkf = n_inserts
         return True
 
     def _maybe_feat_edge(self, ms: MapState, k: int) -> MapState:
@@ -747,12 +755,15 @@ class LoopCloser:
             midx, n_kp, n_mp, _ = verify_loop(
                 ms, k, cand, sub, n_trials=self.cfg.cap.ransac_trials
             )
-            if int(n_mp) < 10:
-                continue
+            # dispatch the constraint build unconditionally so BOTH gate
+            # counts come back in ONE device sync (selected pairs are
+            # rare — a wasted pose-only solve on a failing candidate is
+            # cheaper than a second ~30 ms tunnel round-trip each)
             meas, info, n_good, _ = build_loop_constraint(
                 ms, k, cand, midx, self.cfg
             )
-            if int(n_good) < 10:
+            n_mp_h, n_good_h = jax.device_get((n_mp, n_good))
+            if int(n_mp_h) < 10 or int(n_good_h) < 10:
                 continue
             ms = add_ftr_edge(
                 ms, jnp.asarray(cand), jnp.asarray(k), meas, info
@@ -762,10 +773,13 @@ class LoopCloser:
     def on_new_kf(self, ms: MapState, k) -> MapState:
         k = int(k)
         ms = self._maybe_feat_edge(ms, k)
-        # slots are never reused, so the new KF's slot determines the
-        # insert count without a device sync
-        if not self._ensure_vocab(ms, n_kf=k + 1):
+        self._n_inserts += 1
+        if not self._ensure_vocab(ms, n_inserts=self._n_inserts):
             return ms
+        v, _ = vocab_mod.bow_transform(
+            self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
+        )
+        self.bank = self.bank.at[k].set(v)
         # temporal throttle: consecutive keyframes revisiting the same
         # place would close near-duplicate loops whose correlated errors
         # pile up in the pose graph; one closure per revisit is enough
@@ -773,15 +787,7 @@ class LoopCloser:
             self.last_loop is not None
             and k - self.last_loop[1] < self.min_kfs_between_loops
         ):
-            v, _ = vocab_mod.bow_transform(
-                self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
-            )
-            self.bank = self.bank.at[k].set(v)
             return ms
-        v, _ = vocab_mod.bow_transform(
-            self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
-        )
-        self.bank = self.bank.at[k].set(v)
 
         cfg = self.cfg
         scores = vocab_mod.bow_score(self.bank, v)

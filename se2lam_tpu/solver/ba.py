@@ -248,6 +248,10 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
 # intermediate is small enough to stay cheap); above it the kernel wins
 # by skipping the HBM roundtrip of T.
 PALLAS_SCHUR_MIN_M = 2048
+# VMEM ceiling of the kernel: the (3K, Tc) row panel and the f32 (3K, 3K)
+# accumulator must fit together (pallas_schur.py header). Beyond this K
+# the einsum pair is the only correct lowering.
+PALLAS_SCHUR_MAX_K = 341
 
 
 def schur_reduce(Hpp, bp, Hpx, Hxx_inv, bx):
@@ -256,10 +260,15 @@ def schur_reduce(Hpp, bp, Hpx, Hxx_inv, bx):
 
     Routes at trace time: bank-scale problems on TPU go through the
     fused Pallas kernel (solver/pallas_schur.py — the T = Hpx·Hxx⁻¹
-    intermediate never touches HBM); window-scale problems use the
-    einsum pair, which XLA maps straight onto the MXU."""
-    M = Hpx.shape[2]
-    if M >= PALLAS_SCHUR_MIN_M and jax.default_backend() == "tpu":
+    intermediate never touches HBM); window-scale problems — and pose
+    counts past the kernel's VMEM ceiling — use the einsum pair, which
+    XLA maps straight onto the MXU."""
+    K, M = Hpx.shape[0], Hpx.shape[2]
+    if (
+        M >= PALLAS_SCHUR_MIN_M
+        and K <= PALLAS_SCHUR_MAX_K
+        and jax.default_backend() == "tpu"
+    ):
         from .pallas_schur import schur_reduce_pallas
 
         S_red = schur_reduce_pallas(Hpx, Hxx_inv)
