@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--resume", metavar="MAP_DIR", default=None,
                     help="continue SLAM on a saved map (relocalizes the "
                          "first frame; the reference's USE_PREV_MAP)")
+    ap.add_argument("--chunk", type=int, default=0, metavar="K",
+                    help="speculative chunked tracking: feed K frames per "
+                         "keyframe-decision sync (SlamSystem.process_chunk)"
+                         " — amortizes the per-frame host round-trip, the "
+                         "wall-clock bottleneck on remote-attached chips")
     args = ap.parse_args()
 
     from se2lam_tpu.io import SyntheticWorld, ate_se2, save_map
@@ -97,12 +102,28 @@ def main():
         slam.enable_viz(os.path.join(args.out, "viz"), args.viz_every)
     t0 = time.perf_counter()
     n = 0
-    for img, odo in feed:
-        slam.process(img, odo)
-        n += 1
-        if n % 50 == 0:
-            print(f"frame {n}: pose={slam.current_pose()} "
-                  f"kfs={slam.n_keyframes()} mps={slam.n_map_points()}")
+    if args.chunk > 1:
+        pending_img, pending_odo = [], []
+        for img, odo in feed:
+            pending_img.append(img)
+            pending_odo.append(odo)
+            if len(pending_img) == args.chunk:
+                slam.process_chunk(pending_img, pending_odo)
+                n += len(pending_img)
+                pending_img, pending_odo = [], []
+                if n % (args.chunk * 8) == 0:
+                    print(f"frame {n}: kfs={slam.n_keyframes()} "
+                          f"mps={slam.n_map_points()}")
+        if pending_img:
+            slam.process_chunk(pending_img, pending_odo)
+            n += len(pending_img)
+    else:
+        for img, odo in feed:
+            slam.process(img, odo)
+            n += 1
+            if n % 50 == 0:
+                print(f"frame {n}: pose={slam.current_pose()} "
+                      f"kfs={slam.n_keyframes()} mps={slam.n_map_points()}")
     dt = time.perf_counter() - t0
     print(f"\n{n} frames in {dt:.1f}s ({n / dt:.1f} fps)")
     print(f"keyframes={slam.n_keyframes()} map_points={slam.n_map_points()}")

@@ -302,6 +302,106 @@ class SlamSystem:
         self.frame_id += 1
         return pose
 
+    def process_chunk(self, imgs, odos) -> np.ndarray:
+        """Feed ``k`` (image, odometry) pairs with ONE keyframe-decision
+        sync per segment instead of one per frame.
+
+        Speculative chunked tracking: all k frames are scanned in one
+        dispatch assuming no keyframe fires (tracking.track_chunk); the
+        host fetches the k decisions together, and when one fired at
+        frame j it re-runs the same compiled scan with stop=j+1 to
+        recover the exact state at j, inserts the keyframe, and
+        continues the chunk from j+1 against the new reference — so the
+        result is bitwise-identical to calling ``process`` per frame
+        (tests/test_chunked.py asserts this). On a remote-attached chip
+        the per-frame decision round-trip is the end-to-end wall-clock
+        bottleneck (~30 ms each through the axon tunnel); this amortizes
+        it k-ways. Trades redundant device FLOPs on replayed frames for
+        host round-trips. Returns the (k, 3) body poses.
+        """
+        k = len(imgs)
+        assert len(odos) == k
+        poses_out: list[np.ndarray] = []
+        idx = 0
+        # bootstrap / resume paths stay per-frame until tracking exists
+        while self.ts is None and idx < k:
+            poses_out.append(self.process(imgs[idx], odos[idx]))
+            idx += 1
+        if idx == k:
+            return np.asarray(poses_out, np.float32)
+
+        cfg = self.cfg
+        feats_list = [self.extract(im) for im in imgs[idx:]]
+        feats_stack = jax.tree.map(lambda *a: jnp.stack(a), *feats_list)
+        odo_stack = jnp.asarray(np.asarray(odos[idx:]), jnp.float32)
+        kk = k - idx
+        # same key sequence as kk per-frame split() calls (bitwise parity)
+        self.key, keys = tracking.split_chain(self.key, kk)
+
+        i = 0
+        while i < kk:
+            t0 = time.perf_counter()
+            ts_f, needs, poses = tracking.track_chunk(
+                self.ts, feats_stack, odo_stack, keys,
+                jnp.asarray(i, jnp.int32), jnp.asarray(kk, jnp.int32),
+                cfg,
+            )
+            # ONE host round-trip per segment: k decisions + poses (+ the
+            # live KF count for the capacity check, already resident)
+            needs_h, poses_h, n_kf = jax.device_get(
+                (needs, poses, self.ms.n_kf)
+            )
+            self.timings["track"] = time.perf_counter() - t0
+            fire = next((j for j in range(i, kk) if needs_h[j]), None)
+            upto = kk if fire is None else fire + 1
+
+            for j in range(i, upto):
+                pose = np.asarray(poses_h[j], np.float32)
+                # anchor record vs the CURRENT reference (pre-insert),
+                # exactly as the per-frame path orders it
+                dx = pose[0] - self._ref_pose_host[0]
+                dy = pose[1] - self._ref_pose_host[1]
+                c = np.cos(self._ref_pose_host[2])
+                s = np.sin(self._ref_pose_host[2])
+                dt = pose[2] - self._ref_pose_host[2]
+                rel = np.asarray(
+                    [c * dx + s * dy, -s * dx + c * dy,
+                     np.arctan2(np.sin(dt), np.cos(dt))],
+                    np.float32,
+                )
+                self._frame_anchors.append(
+                    (self.frame_id, self._ref_kf_host, rel)
+                )
+                if j == fire:
+                    # recover the exact tracking state at the fired frame
+                    ts_j, _, _ = tracking.track_chunk(
+                        self.ts, feats_stack, odo_stack, keys,
+                        jnp.asarray(i, jnp.int32),
+                        jnp.asarray(fire + 1, jnp.int32),
+                        cfg,
+                    )
+                    self.ts = ts_j
+                    if int(n_kf) >= cfg.cap.max_kfs:
+                        self._relieve_capacity()
+                    else:
+                        self.at_capacity = False
+                    if not self.at_capacity:
+                        if self._viz_dir is not None:
+                            self._last_img = np.asarray(imgs[idx + fire])
+                        feats_j = jax.tree.map(
+                            lambda a: a[fire], feats_stack
+                        )
+                        self._insert_keyframe(feats_j, odo_stack[fire])
+                self.trajectory.append((self.frame_id, pose))
+                self.frame_id += 1
+                poses_out.append(pose)
+
+            if fire is None:
+                self.ts = ts_f
+                break
+            i = fire + 1
+        return np.asarray(poses_out, np.float32)
+
     def _relieve_capacity(self) -> bool:
         """Forced prune + compaction when the KF bank is full.
 

@@ -26,7 +26,10 @@ from .ops import se2, se3
 from .ops.camera import CameraModel
 from .ops.triangulate import check_parallax, triangulate
 
-__all__ = ["TrackState", "init_track_state", "track_frame", "TrackResult"]
+__all__ = [
+    "TrackState", "init_track_state", "track_frame", "TrackResult",
+    "track_chunk", "split_chain",
+]
 
 
 class TrackState(NamedTuple):
@@ -226,3 +229,76 @@ def track_frame(
         need_kf=need,
         pose=pose,
     )
+
+
+@partial(jax.jit, static_argnames=("n",))
+def split_chain(key, n: int):
+    """``n`` sequential PRNG splits in one dispatch: returns (new_key,
+    (n, 2) subkeys) with values identical to ``n`` host-side
+    ``key, sub = jax.random.split(key)`` iterations — chunked tracking
+    must consume the same key sequence as the per-frame path so the two
+    modes are bitwise-identical."""
+
+    def body(k, _):
+        k2, sub = jax.random.split(k)
+        return k2, sub
+
+    return jax.lax.scan(body, key, None, length=n)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_chunk(
+    ts: TrackState,
+    feats_stack: OrbFeatures,   # leading chunk axis (k, ...)
+    odo_stack,                  # (k, 3)
+    keys,                       # (k, 2) uint32
+    start,                      # () int32 — first active step
+    stop,                       # () int32 — one past the last active step
+    cfg: SystemConfig,
+):
+    """Speculatively track a chunk of frames in ONE dispatch.
+
+    Scans ``track_frame`` over the stacked frames; steps outside
+    [start, stop) pass the carried state through unchanged (start/stop
+    are traced values, so every window shape shares one compilation).
+    Returns (final TrackState, (k,) need_kf flags, (k, 3) poses) —
+    inactive steps report need_kf=False.
+
+    This is the sync-elimination half of the serving design: the
+    per-frame loop pays one host round-trip per frame for the KF
+    decision (which a remote-attached chip turns into the wall-clock
+    bottleneck); here the host fetches k decisions at once and, when a
+    keyframe fires mid-chunk at j, re-runs the same compiled scan with
+    stop=j+1 to recover the exact state at j — trading redundant device
+    FLOPs (cheap) for round-trips (expensive). Semantics match the
+    sequential reference loop (src/Track.cpp:56-160) exactly: frames
+    after a fired decision are REPLAYED against the new keyframe by the
+    caller, never consumed from the speculative pass."""
+    k = odo_stack.shape[0]
+
+    def body(carry, xs):
+        i, feats, odo, key = xs
+        active = (i >= start) & (i < stop)
+
+        def live(c):
+            ts2, res = track_frame(c, feats, odo, key, cfg)
+            return ts2, (res.need_kf, res.pose)
+
+        def skip(c):
+            # a REAL branch (lax.cond on a scalar predicate), not a
+            # masked compute: segments re-entered after a mid-chunk
+            # keyframe would otherwise pay the full k steps of tracking
+            # math for their dead prefix — measured quadratic-in-k wall
+            # blowup at k=16/24
+            return c, (
+                jnp.asarray(False),
+                jnp.zeros(3, c.cur_pose.dtype),
+            )
+
+        ts_out, (need, pose) = jax.lax.cond(active, live, skip, carry)
+        return ts_out, (need, pose)
+
+    ts_f, (needs, poses) = jax.lax.scan(
+        body, ts, (jnp.arange(k), feats_stack, odo_stack, keys)
+    )
+    return ts_f, needs, poses

@@ -1,0 +1,99 @@
+"""Chunked speculative tracking must reproduce the per-frame pipeline.
+
+process_chunk scans k frames per dispatch and replays the tail of a
+chunk whenever a keyframe fires mid-chunk, so its OBSERVABLE behavior —
+trajectory, keyframe set, map — must match feeding the same frames one
+at a time through process(). (The reference has no such mode; this is
+the sync-amortized serving path, see SlamSystem.process_chunk.)
+"""
+import numpy as np
+
+from se2lam_tpu.config import Capacity, SystemConfig
+from se2lam_tpu.io import SyntheticWorld
+from se2lam_tpu.system import SlamSystem
+
+from synth_utils import TCB
+
+
+def _cfg():
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    cfg0 = SystemConfig(
+        width=320, height=240,
+        fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=256, max_level=2, scale_factor=1.2,
+        min_frames_between_kf=2, max_frames_between_kf=8,
+        local_iter=6,
+    )
+    oc = OrbConfig(
+        height=cfg0.height, width=cfg0.width, n_features=256,
+        scale_factor=cfg0.scale_factor, n_levels=cfg0.max_level,
+    )
+    return cfg0.replace(
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=32, max_mps=2048,
+            local_kfs=8, local_ref_kfs=8, local_mps=512,
+            ransac_trials=64,
+        )
+    )
+
+
+def test_chunked_matches_per_frame():
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
+    frames = list(world.sequence(33, noise=(0.004, 0.002, 0.002)))
+
+    ref = SlamSystem(cfg, enable_loops=False)
+    for img, odo in frames:
+        ref.process(img, odo)
+
+    chk = SlamSystem(cfg, enable_loops=False)
+    i = 0
+    for size in (1, 7, 8, 8, 9):  # uneven chunks incl. the bootstrap
+        batch = frames[i:i + size]
+        chk.process_chunk([f[0] for f in batch], [f[1] for f in batch])
+        i += size
+    assert i == len(frames)
+
+    assert chk.frame_id == ref.frame_id
+    assert chk.n_keyframes() == ref.n_keyframes()
+    assert chk.kf_frame_ids == ref.kf_frame_ids
+
+    est_r = np.asarray([p for _, p in ref.trajectory])
+    est_c = np.asarray([p for _, p in chk.trajectory])
+    # same program content but different XLA fusions (scan vs per-frame
+    # jit), so identity is numerical, not bitwise
+    np.testing.assert_allclose(est_c, est_r, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(chk.ms.kf_pose), np.asarray(ref.ms.kf_pose), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(chk.corrected_trajectory()),
+        np.asarray(ref.corrected_trajectory()),
+        atol=1e-4,
+    )
+
+
+def test_chunked_closes_loops_too():
+    """Chunk mode must drive the full keyframe pipeline (local BA, loop
+    closer) — a revisit closes a loop exactly as in per-frame mode."""
+    cfg = _cfg().replace(
+        gm_dcl_min_kfid_offset=8,
+        gm_vcl_num_min_match_mp=6,
+        gm_vcl_num_min_match_kp=15,
+    )
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
+    lap = world.circle_trajectory(48)
+    gt = np.concatenate([lap, lap[:20]])
+    odo = world.odometry(gt, noise=(0.004, 0.002, 0.002), seed=3)
+
+    slam = SlamSystem(cfg, enable_loops=True)
+    B = 8
+    for i in range(0, len(gt), B):
+        imgs = [world.render(g) for g in gt[i:i + B]]
+        slam.process_chunk(imgs, odo[i:i + B])
+    assert slam._loop_closer.n_loops_closed >= 1
+    est = np.asarray([p for _, p in slam.trajectory])
+    assert np.isfinite(est).all()
