@@ -54,6 +54,7 @@ class SlamSystem:
             cfg.cap.n_features,
         )
         self._extract = jax.jit(make_extractor(self.orb_cfg))
+        self._extract_batch_cache: dict = {}
         self._cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
         self._undistort = any(abs(d) > 0 for d in cfg.dist)
 
@@ -194,12 +195,50 @@ class SlamSystem:
     # -- main synchronous step --
 
     def extract(self, img) -> OrbFeatures:
-        feats = self._extract(jnp.asarray(img, jnp.float32))
+        # ship the frame in its source dtype (uint8 BMPs at 1 byte/px)
+        # and cast to f32 inside the jitted extractor — host-side f32
+        # conversion would quadruple the host→device transfer
+        feats = self._extract(jnp.asarray(img))
         if self._undistort:
             feats = feats._replace(
                 xy=undistort_points(self._cam, feats.xy)
             )
         return feats
+
+    def extract_batch(self, imgs) -> OrbFeatures:
+        """Extract a stack of k frames in ONE transfer + ONE dispatch.
+
+        The per-frame path pays one host→device image transfer and one
+        extractor dispatch per frame plus a k-way stack of every feature
+        leaf — measured at 340–580 ms per 16-frame chunk through the
+        axon tunnel, 10× the tracking scan itself. Batching collapses
+        that to a single contiguous transfer (device-side f32 cast, so
+        uint8 frames ship at 1 byte/px) and one vmapped extraction.
+        Compiled once per distinct k (chunk feeds use a constant k plus
+        at most one partial tail)."""
+        fn = self._extract_batch_cache.get(None)
+        if fn is None:
+            extract_raw = make_extractor(self.orb_cfg)
+
+            def one(im):
+                feats = extract_raw(im.astype(jnp.float32))
+                if self._undistort:
+                    feats = feats._replace(
+                        xy=undistort_points(self._cam, feats.xy)
+                    )
+                return feats
+
+            def run(img_stack):
+                # sequential map, NOT vmap: the extractor's one-hot
+                # patch-gather intermediates are per-frame large; a
+                # vmapped batch multiplies that peak by k (observed TPU
+                # worker OOM-crash at k=24). lax.map keeps single-frame
+                # peak memory while still being ONE dispatch.
+                return jax.lax.map(one, img_stack)
+
+            fn = jax.jit(run)
+            self._extract_batch_cache[None] = fn
+        return fn(jnp.asarray(np.stack([np.asarray(im) for im in imgs])))
 
     def enable_viz(self, out_dir: str, every_n_kf: int = 5,
                    log_ba: bool = True):
@@ -331,8 +370,7 @@ class SlamSystem:
             return np.asarray(poses_out, np.float32)
 
         cfg = self.cfg
-        feats_list = [self.extract(im) for im in imgs[idx:]]
-        feats_stack = jax.tree.map(lambda *a: jnp.stack(a), *feats_list)
+        feats_stack = self.extract_batch(imgs[idx:])
         odo_stack = jnp.asarray(np.asarray(odos[idx:]), jnp.float32)
         kk = k - idx
         # same key sequence as kk per-frame split() calls (bitwise parity)

@@ -76,6 +76,29 @@ def test_chunked_matches_per_frame():
     )
 
 
+def test_chunked_uint8_feed_matches_per_frame():
+    """Camera-realistic uint8 frames (the dtype BMP datasets decode to,
+    shipped at 1 byte/px and cast to f32 on device) must track the same
+    in both modes."""
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=7)
+    frames = [(np.asarray(img).astype(np.uint8), odo)
+              for img, odo in world.sequence(20, noise=(0.004, 0.002, 0.002))]
+
+    ref = SlamSystem(cfg, enable_loops=False)
+    for img, odo in frames:
+        ref.process(img, odo)
+    chk = SlamSystem(cfg, enable_loops=False)
+    for i in range(0, 20, 5):
+        b = frames[i:i + 5]
+        chk.process_chunk([f[0] for f in b], [f[1] for f in b])
+
+    assert chk.n_keyframes() == ref.n_keyframes() >= 2
+    est_r = np.asarray([p for _, p in ref.trajectory])
+    est_c = np.asarray([p for _, p in chk.trajectory])
+    np.testing.assert_allclose(est_c, est_r, atol=1e-4)
+
+
 def test_chunked_closes_loops_too():
     """Chunk mode must drive the full keyframe pipeline (local BA, loop
     closer) — a revisit closes a loop exactly as in per-frame mode."""
