@@ -54,7 +54,7 @@ class SlamSystem:
             cfg.cap.n_features,
         )
         self._extract = jax.jit(make_extractor(self.orb_cfg))
-        self._extract_batch_cache: dict = {}
+        self._extract_batch_fn = None
         self._cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
         self._undistort = any(abs(d) > 0 for d in cfg.dist)
 
@@ -213,10 +213,10 @@ class SlamSystem:
         leaf — measured at 340–580 ms per 16-frame chunk through the
         axon tunnel, 10× the tracking scan itself. Batching collapses
         that to a single contiguous transfer (device-side f32 cast, so
-        uint8 frames ship at 1 byte/px) and one vmapped extraction.
-        Compiled once per distinct k (chunk feeds use a constant k plus
-        at most one partial tail)."""
-        fn = self._extract_batch_cache.get(None)
+        uint8 frames ship at 1 byte/px) and one lax.map extraction
+        dispatch. Compiled once per distinct k (process_chunk pads short
+        chunks so feeds see one k)."""
+        fn = self._extract_batch_fn
         if fn is None:
             extract_raw = make_extractor(self.orb_cfg)
 
@@ -237,7 +237,7 @@ class SlamSystem:
                 return jax.lax.map(one, img_stack)
 
             fn = jax.jit(run)
-            self._extract_batch_cache[None] = fn
+            self._extract_batch_fn = fn
         return fn(jnp.asarray(np.stack([np.asarray(im) for im in imgs])))
 
     def enable_viz(self, out_dir: str, every_n_kf: int = 5,
@@ -314,17 +314,9 @@ class SlamSystem:
         # anchor record for retro-correction: this frame's pose relative
         # to its reference KF (whose estimate later BA/loop closures move).
         # Host-side bookkeeping only — no extra device syncs.
-        dx = pose[0] - self._ref_pose_host[0]
-        dy = pose[1] - self._ref_pose_host[1]
-        c = np.cos(self._ref_pose_host[2])
-        s = np.sin(self._ref_pose_host[2])
-        dt = pose[2] - self._ref_pose_host[2]
-        rel = np.asarray(
-            [c * dx + s * dy, -s * dx + c * dy,
-             np.arctan2(np.sin(dt), np.cos(dt))],
-            np.float32,
+        self._frame_anchors.append(
+            (self.frame_id, self._ref_kf_host, self._anchor_rel(pose))
         )
-        self._frame_anchors.append((self.frame_id, self._ref_kf_host, rel))
 
         if bool(need_kf):
             if int(n_kf) >= cfg.cap.max_kfs:
@@ -341,6 +333,21 @@ class SlamSystem:
         self.frame_id += 1
         return pose
 
+    def _anchor_rel(self, pose: np.ndarray) -> np.ndarray:
+        """This frame's SE(2) pose relative to the current reference KF's
+        host-mirrored pose — the retro-correction anchor record shared by
+        the per-frame and chunked paths."""
+        dx = pose[0] - self._ref_pose_host[0]
+        dy = pose[1] - self._ref_pose_host[1]
+        c = np.cos(self._ref_pose_host[2])
+        s = np.sin(self._ref_pose_host[2])
+        dt = pose[2] - self._ref_pose_host[2]
+        return np.asarray(
+            [c * dx + s * dy, -s * dx + c * dy,
+             np.arctan2(np.sin(dt), np.cos(dt))],
+            np.float32,
+        )
+
     def process_chunk(self, imgs, odos) -> np.ndarray:
         """Feed ``k`` (image, odometry) pairs with ONE keyframe-decision
         sync per segment instead of one per frame.
@@ -351,12 +358,14 @@ class SlamSystem:
         frame j it re-runs the same compiled scan with stop=j+1 to
         recover the exact state at j, inserts the keyframe, and
         continues the chunk from j+1 against the new reference — so the
-        result is bitwise-identical to calling ``process`` per frame
-        (tests/test_chunked.py asserts this). On a remote-attached chip
-        the per-frame decision round-trip is the end-to-end wall-clock
-        bottleneck (~30 ms each through the axon tunnel); this amortizes
-        it k-ways. Trades redundant device FLOPs on replayed frames for
-        host round-trips. Returns the (k, 3) body poses.
+        result matches calling ``process`` per frame to numerical
+        identity (the programs fuse differently, so agreement is
+        allclose-tight, not bitwise; tests/test_chunked.py asserts it).
+        On a remote-attached chip the per-frame decision round-trip is
+        the end-to-end wall-clock bottleneck (~30 ms each through the
+        axon tunnel); this amortizes it k-ways. Trades redundant device
+        FLOPs on replayed frames for host round-trips. Returns the
+        (k, 3) body poses.
         """
         k = len(imgs)
         assert len(odos) == k
@@ -367,14 +376,27 @@ class SlamSystem:
             poses_out.append(self.process(imgs[idx], odos[idx]))
             idx += 1
         if idx == k:
-            return np.asarray(poses_out, np.float32)
+            return np.asarray(poses_out, np.float32).reshape(-1, 3)
 
         cfg = self.cfg
-        feats_stack = self.extract_batch(imgs[idx:])
-        odo_stack = jnp.asarray(np.asarray(odos[idx:]), jnp.float32)
         kk = k - idx
-        # same key sequence as kk per-frame split() calls (bitwise parity)
+        # pad short chunks (bootstrap-shortened first chunk, feed tail)
+        # up to the largest size seen: every distinct array length is a
+        # separate multi-minute XLA compile on the real chip, and the
+        # scan's [start, stop) masking makes padded steps free. Padded
+        # key rows are dummies — only kk keys are CONSUMED from the
+        # chain, preserving parity with kk per-frame split() calls.
+        self._chunk_klen = max(getattr(self, "_chunk_klen", 0), kk)
+        pad = self._chunk_klen - kk
+        imgs_fed = list(imgs[idx:]) + [imgs[-1]] * pad
+        odos_fed = list(odos[idx:]) + [odos[-1]] * pad
+        feats_stack = self.extract_batch(imgs_fed)
+        odo_stack = jnp.asarray(np.asarray(odos_fed), jnp.float32)
         self.key, keys = tracking.split_chain(self.key, kk)
+        if pad:
+            keys = jnp.concatenate(
+                [keys, jnp.tile(keys[-1:], (pad, 1))], axis=0
+            )
 
         i = 0
         while i < kk:
@@ -397,27 +419,26 @@ class SlamSystem:
                 pose = np.asarray(poses_h[j], np.float32)
                 # anchor record vs the CURRENT reference (pre-insert),
                 # exactly as the per-frame path orders it
-                dx = pose[0] - self._ref_pose_host[0]
-                dy = pose[1] - self._ref_pose_host[1]
-                c = np.cos(self._ref_pose_host[2])
-                s = np.sin(self._ref_pose_host[2])
-                dt = pose[2] - self._ref_pose_host[2]
-                rel = np.asarray(
-                    [c * dx + s * dy, -s * dx + c * dy,
-                     np.arctan2(np.sin(dt), np.cos(dt))],
-                    np.float32,
-                )
                 self._frame_anchors.append(
-                    (self.frame_id, self._ref_kf_host, rel)
+                    (self.frame_id, self._ref_kf_host,
+                     self._anchor_rel(pose))
                 )
                 if j == fire:
-                    # recover the exact tracking state at the fired frame
-                    ts_j, _, _ = tracking.track_chunk(
-                        self.ts, feats_stack, odo_stack, keys,
-                        jnp.asarray(i, jnp.int32),
-                        jnp.asarray(fire + 1, jnp.int32),
-                        cfg,
-                    )
+                    if fire == kk - 1:
+                        # the fired frame is the segment's last active
+                        # step: the speculative pass already IS the
+                        # replay (stop=kk ≡ stop=fire+1) — skip the
+                        # redundant scan
+                        ts_j = ts_f
+                    else:
+                        # recover the exact tracking state at the fired
+                        # frame
+                        ts_j, _, _ = tracking.track_chunk(
+                            self.ts, feats_stack, odo_stack, keys,
+                            jnp.asarray(i, jnp.int32),
+                            jnp.asarray(fire + 1, jnp.int32),
+                            cfg,
+                        )
                     self.ts = ts_j
                     if int(n_kf) >= cfg.cap.max_kfs:
                         self._relieve_capacity()
@@ -438,7 +459,7 @@ class SlamSystem:
                 self.ts = ts_f
                 break
             i = fire + 1
-        return np.asarray(poses_out, np.float32)
+        return np.asarray(poses_out, np.float32).reshape(-1, 3)
 
     def _relieve_capacity(self) -> bool:
         """Forced prune + compaction when the KF bank is full.
