@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--out", default="./loc_out")
+    ap.add_argument("--chunk", type=int, default=0, metavar="K",
+                    help="speculative chunked localization: K frames per "
+                         "host sync while tracked (Localizer.process_chunk)")
     args = ap.parse_args()
 
     from run_dataset import synthetic_cfg
@@ -50,12 +53,29 @@ def main():
 
     loc = Localizer(cfg, ms, vocab)
     n_ok = 0
-    for i, (img, odo) in enumerate(feed):
-        p = loc.process(img, odo)
-        if p is not None:
-            n_ok += 1
-        if (i + 1) % 25 == 0:
-            print(f"frame {i + 1}: localized={n_ok} pose={p}")
+    if args.chunk > 1:
+        pending = []
+        for item in feed:
+            pending.append(item)
+            if len(pending) == args.chunk:
+                res = loc.process_chunk(
+                    [f[0] for f in pending], [f[1] for f in pending]
+                )
+                n_ok += sum(p is not None for p in res)
+                pending = []
+                print(f"frame {loc.frame_id}: localized={n_ok}")
+        if pending:
+            res = loc.process_chunk(
+                [f[0] for f in pending], [f[1] for f in pending]
+            )
+            n_ok += sum(p is not None for p in res)
+    else:
+        for i, (img, odo) in enumerate(feed):
+            p = loc.process(img, odo)
+            if p is not None:
+                n_ok += 1
+            if (i + 1) % 25 == 0:
+                print(f"frame {i + 1}: localized={n_ok} pose={p}")
     out = os.path.join(args.out, "localizer_trajectory.csv")
     loc.save_trajectory(out)
     print(f"localized {n_ok}/{loc.frame_id} frames → {out}")

@@ -29,7 +29,8 @@ import numpy as np
 from .fast import fast_score, nms3x3
 from .pattern import HALF_PATCH, N_BITS, PATTERN_X, PATTERN_Y
 
-__all__ = ["OrbConfig", "OrbFeatures", "make_extractor", "pack_bits"]
+__all__ = ["OrbConfig", "OrbFeatures", "make_extractor",
+           "make_batch_extractor", "pack_bits"]
 
 
 class OrbConfig(NamedTuple):
@@ -492,3 +493,30 @@ def make_extractor(cfg: OrbConfig):
         )
 
     return extract
+
+
+def make_batch_extractor(cfg: OrbConfig, cam=None, undistort: bool = False):
+    """Jitted (k, H, W) image stack → OrbFeatures with a leading k axis.
+
+    One host→device transfer and ONE dispatch for a whole frame chunk
+    (the per-frame transfer + dispatch + k-way feature stacking was the
+    measured bottleneck of chunked feeds, DESIGN §12). Frames are cast
+    to f32 on device, so uint8 camera feeds ship at 1 byte/px.
+
+    Sequential ``lax.map``, NOT vmap: the extractor's one-hot
+    patch-gather intermediates are per-frame large, and a vmapped batch
+    multiplies that peak by k (observed TPU worker OOM-crash at k=24);
+    map keeps single-frame peak memory in one dispatch. With
+    ``undistort``, keypoints are undistorted through ``cam`` exactly as
+    the per-frame path does."""
+    extract_raw = make_extractor(cfg)
+    if undistort:
+        from ..ops.camera import undistort_points
+
+    def one(im):
+        feats = extract_raw(im.astype(jnp.float32))
+        if undistort:
+            feats = feats._replace(xy=undistort_points(cam, feats.xy))
+        return feats
+
+    return jax.jit(lambda img_stack: jax.lax.map(one, img_stack))

@@ -21,6 +21,8 @@ bookkeeping.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +31,9 @@ from . import vocab as vocab_mod
 from .config import SystemConfig
 from .frontend.matcher import match_by_projection, mutual_match
 from .frontend.pallas_match import match_by_projection_streamed
-from .frontend.orb import OrbConfig, OrbFeatures, make_extractor
+from .frontend.orb import (
+    OrbConfig, OrbFeatures, make_batch_extractor, make_extractor,
+)
 from .frontend.ransac import ransac_fundamental
 from .loopclose import kf_features
 from .mapstate import MapState, kf_Tcw
@@ -89,6 +93,80 @@ def _covis_kf_count(ms: MapState, feat_match):
         jnp.where(ok, obs, ms.K)
     ].set(True, mode="drop")
     return jnp.sum(seen.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _localize_chunk(
+    ms: MapState,
+    pose0,
+    last_odom0,
+    feats_stack: OrbFeatures,   # leading chunk axis (k, ...)
+    odo_stack,                  # (k, 3)
+    start,                      # () int32 — first active step
+    stop,                       # () int32 — one past the last active step
+    min_matches,                # () int32 — the tracked gate
+    cfg: SystemConfig,
+):
+    """Speculatively localize a chunk of frames in ONE dispatch.
+
+    The serving analog of tracking.track_chunk for localization-only
+    mode: the per-frame loop pays 2-3 host round-trips per frame (the
+    match-count gate, the inlier/covisibility fetch, the returned pose);
+    here the tracked-path accept decision — matches ≥ gate, pose-only
+    inliers ≥ gate, covisible-KF set nonempty (DetectIfLost,
+    src/Localizer.cpp:304-313) — is evaluated ON DEVICE per frame, and
+    the host fetches k (pose, tracked) pairs at once. The scan carries
+    (pose, last_odom, lost); once a frame fails the gates the carry
+    freezes and subsequent steps skip (lax.cond), because the reference
+    semantics switch to BoW relocalization, which stays a host decision.
+    Steps outside [start, stop) skip likewise. Returns ((k, 3) poses,
+    (k,) tracked flags)."""
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    k = odo_stack.shape[0]
+
+    def body(carry, xs):
+        pose, last_odom, lost = carry
+        i, feats, odo = xs
+        active = (i >= start) & (i < stop) & jnp.logical_not(lost)
+
+        def live(args):
+            p, lo = args
+            pred = se2.compose(p, se2.minus(odo, lo))
+            feat_match, n = _project_and_match(ms, feats, pred, cfg)
+            m = jnp.clip(feat_match, 0)
+            new_pose, _chi, n_in = solve_pose_only(
+                pred, ms.mp_pos[m], feats.xy, feat_match >= 0,
+                cam, Tcb, iters=30,
+            )
+            n_covis = _covis_kf_count(ms, feat_match)
+            ok = (
+                (n >= min_matches)
+                & (n_in >= min_matches)
+                & (n_covis > 0)
+            )
+            return new_pose, ok
+
+        def skip(args):
+            p, _ = args
+            return p, jnp.asarray(False)
+
+        new_pose, ok = jax.lax.cond(active, live, skip, (pose, last_odom))
+        pose_out = jnp.where(ok, new_pose, pose)
+        last_out = jnp.where(ok, odo, last_odom)
+        lost_out = lost | (active & jnp.logical_not(ok))
+        return (pose_out, last_out, lost_out), (pose_out, ok)
+
+    carry0 = (
+        jnp.asarray(pose0, dtype),
+        jnp.asarray(last_odom0, dtype),
+        jnp.asarray(False),
+    )
+    _, (poses, tracked) = jax.lax.scan(
+        body, carry0, (jnp.arange(k), feats_stack, odo_stack)
+    )
+    return poses, tracked
 
 
 @jax.jit
@@ -155,6 +233,7 @@ class Localizer:
             scale_factor=cfg.scale_factor, n_levels=cfg.max_level,
         )
         self._extract = jax.jit(make_extractor(self.orb_cfg))
+        self._extract_batch_fn = None
         self._cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
         self._undistort = any(abs(d) > 0 for d in cfg.dist)
 
@@ -194,10 +273,79 @@ class Localizer:
     # -- public API --
 
     def process(self, img, odo) -> np.ndarray | None:
-        feats = self._extract(jnp.asarray(img, jnp.float32))
+        # source dtype on the wire, f32 cast on device (uint8 = 1 byte/px)
+        feats = self._extract(jnp.asarray(img))
         if self._undistort:
             feats = feats._replace(xy=undistort_points(self._cam, feats.xy))
         return self.process_features(feats, odo)
+
+    def process_chunk(self, imgs, odos) -> list:
+        """Localize ``k`` (image, odometry) pairs with ONE host sync per
+        tracked run instead of 2-3 per frame (the serving shape: a robot
+        fleet localizing against a frozen map). Tracked frames consume
+        the speculative pass (_localize_chunk); the first lost frame
+        falls back to the per-frame BoW relocalization path, then the
+        chunk resumes. Returns a list of k poses (None where lost),
+        matching ``process``'s per-frame outputs."""
+        k = len(imgs)
+        assert len(odos) == k
+        out: list = []
+        idx = 0
+        # cold start / lost state stays per-frame (BoW reloc is host-driven)
+        while (self.lost or self.pose is None) and idx < k:
+            out.append(self.process(imgs[idx], odos[idx]))
+            idx += 1
+        if idx == k:
+            return out
+
+        cfg = self.cfg
+        kk = k - idx
+        # pad short chunks to one compiled size (see SlamSystem.process_chunk)
+        self._chunk_klen = max(getattr(self, "_chunk_klen", 0), kk)
+        pad = self._chunk_klen - kk
+        imgs_fed = list(imgs[idx:]) + [imgs[-1]] * pad
+        odos_fed = list(odos[idx:]) + [odos[-1]] * pad
+        if self._extract_batch_fn is None:
+            self._extract_batch_fn = make_batch_extractor(
+                self.orb_cfg, self._cam, self._undistort
+            )
+        feats_stack = self._extract_batch_fn(
+            jnp.asarray(np.stack([np.asarray(im) for im in imgs_fed]))
+        )
+        odo_stack = jnp.asarray(np.asarray(odos_fed), jnp.float32)
+        gate = jnp.asarray(self.min_tracked_matches, jnp.int32)
+
+        i = 0
+        while i < kk:
+            if self.lost:
+                # reloc (and its immediate-retry semantics) per frame
+                feats_i = jax.tree.map(lambda a: a[i], feats_stack)
+                out.append(self.process_features(feats_i, odo_stack[i]))
+                i += 1
+                continue
+            poses, tracked = _localize_chunk(
+                self.ms, self.pose, self.last_odom,
+                feats_stack, odo_stack,
+                jnp.asarray(i, jnp.int32), jnp.asarray(kk, jnp.int32),
+                gate, cfg,
+            )
+            # ONE round-trip for the whole tracked run
+            tr_h, poses_h = jax.device_get((tracked, poses))
+            j = i
+            while j < kk and tr_h[j]:
+                self._accept(
+                    np.asarray(poses_h[j], np.float32),
+                    odo_stack[j], tracked=True,
+                )
+                out.append(self.pose.copy())
+                j += 1
+            if j == kk:
+                break
+            # frame j failed the tracked gates: mirror the per-frame
+            # fall-through (mark lost, try BoW reloc on the same frame)
+            self.lost = True
+            i = j
+        return out
 
     def process_features(self, feats: OrbFeatures, odo) -> np.ndarray | None:
         cfg = self.cfg

@@ -20,7 +20,9 @@ import numpy as np
 
 from . import localmap, tracking
 from .config import SystemConfig
-from .frontend.orb import OrbConfig, OrbFeatures, make_extractor
+from .frontend.orb import (
+    OrbConfig, OrbFeatures, make_batch_extractor, make_extractor,
+)
 from .mapstate import MapState, empty_map
 from .ops import se2
 from .ops.camera import CameraModel, undistort_points
@@ -216,29 +218,13 @@ class SlamSystem:
         uint8 frames ship at 1 byte/px) and one lax.map extraction
         dispatch. Compiled once per distinct k (process_chunk pads short
         chunks so feeds see one k)."""
-        fn = self._extract_batch_fn
-        if fn is None:
-            extract_raw = make_extractor(self.orb_cfg)
-
-            def one(im):
-                feats = extract_raw(im.astype(jnp.float32))
-                if self._undistort:
-                    feats = feats._replace(
-                        xy=undistort_points(self._cam, feats.xy)
-                    )
-                return feats
-
-            def run(img_stack):
-                # sequential map, NOT vmap: the extractor's one-hot
-                # patch-gather intermediates are per-frame large; a
-                # vmapped batch multiplies that peak by k (observed TPU
-                # worker OOM-crash at k=24). lax.map keeps single-frame
-                # peak memory while still being ONE dispatch.
-                return jax.lax.map(one, img_stack)
-
-            fn = jax.jit(run)
-            self._extract_batch_fn = fn
-        return fn(jnp.asarray(np.stack([np.asarray(im) for im in imgs])))
+        if self._extract_batch_fn is None:
+            self._extract_batch_fn = make_batch_extractor(
+                self.orb_cfg, self._cam, self._undistort
+            )
+        return self._extract_batch_fn(
+            jnp.asarray(np.stack([np.asarray(im) for im in imgs]))
+        )
 
     def enable_viz(self, out_dir: str, every_n_kf: int = 5,
                    log_ba: bool = True):

@@ -176,3 +176,35 @@ def test_localizer_scale_change_revisit(built_map):
     # 0.68 m at Δr = 0.8).
     assert len(errs) >= 12, f"only {len(errs)} frames localized"
     assert np.median(errs) < 1.0, f"median err {np.median(errs)}"
+
+
+def test_localizer_chunked_matches_per_frame(built_map):
+    """process_chunk must reproduce the per-frame localization loop:
+    same tracked flags and (numerically) the same poses, including a
+    cold-start relocalization consumed per-frame inside the chunk."""
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+
+    gt = world.circle_trajectory(60)
+    odo = world.odometry(gt, noise=(0.002, 0.001, 0.001), seed=9)
+    start, n = 15, 24
+    frames = [np.asarray(world.render(gt[i])) for i in range(start, start + n)]
+    feeds = [np.asarray(odo[i]) for i in range(start, start + n)]
+
+    ref = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    ref_out = [ref.process(f, o) for f, o in zip(frames, feeds)]
+
+    chk = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    chk_out = []
+    for i in range(0, n, 8):
+        chk_out.extend(chk.process_chunk(frames[i:i + 8], feeds[i:i + 8]))
+
+    assert len(chk_out) == len(ref_out) == n
+    for a, b in zip(chk_out, ref_out):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, atol=1e-3)
+    # tracked flags recorded identically
+    tr_ref = [t for _, _, t in ref.trajectory]
+    tr_chk = [t for _, _, t in chk.trajectory]
+    assert tr_ref == tr_chk
