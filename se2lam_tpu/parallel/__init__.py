@@ -17,5 +17,6 @@ from .dist_loop import (  # noqa: F401
     shard_bank, sharded_bow_detect, sharded_hamming_detect,
 )
 from .fleet import make_fleet_tracker, shard_fleet  # noqa: F401
+from .fleet_localize import make_fleet_localizer  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 from . import runtime  # noqa: F401 — jax.distributed multi-host init

@@ -208,3 +208,66 @@ def test_localizer_chunked_matches_per_frame(built_map):
     tr_ref = [t for _, _, t in ref.trajectory]
     tr_chk = [t for _, _, t in chk.trajectory]
     assert tr_ref == tr_chk
+
+
+def test_fleet_localizer_matches_single(built_map):
+    """B robots × k frames against ONE shared map in one dispatch
+    (parallel.make_fleet_localizer) must agree with each robot running
+    its own single-robot Localizer chunk path."""
+    import jax.numpy as jnp
+
+    from se2lam_tpu.parallel import make_fleet_localizer
+
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+
+    gt = world.circle_trajectory(60)
+    B, k, start = 3, 5, 10
+    offs = [start, start + 6, start + 12]   # robots at different spots
+    odo = world.odometry(gt, noise=(0.001, 0.001, 0.0005), seed=5)
+
+    imgs = np.stack([
+        np.stack([np.asarray(world.render(gt[o + j])) for j in range(k)])
+        for o in offs
+    ])                                       # (B, k, H, W)
+    odos = np.stack([odo[o:o + k] for o in offs]).astype(np.float32)
+    # the map gauge is the first SLAM frame's body pose: express seeds
+    # relative to gt[0] with the proper SE(2) relative op
+    import jax.numpy as _jnp
+
+    from se2lam_tpu.ops import se2 as _se2
+
+    pose0 = np.stack([
+        np.asarray(_se2.minus(_jnp.asarray(gt[o]), _jnp.asarray(gt[0])),
+                   np.float32)
+        for o in offs
+    ])
+    last0 = np.stack([odo[o].astype(np.float32) for o in offs])
+
+    extract_fn, step_fn = make_fleet_localizer(cfg, ms)
+    feats_bk = extract_fn(jnp.asarray(imgs))
+    poses, tracked = step_fn(
+        jnp.asarray(pose0), jnp.asarray(last0),
+        feats_bk, jnp.asarray(odos),
+    )
+    poses = np.asarray(poses)
+    tracked = np.asarray(tracked)
+    assert tracked.shape == (B, k)
+
+    # single-robot reference: the same chunked localizer per robot
+    for b, o in enumerate(offs):
+        loc = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+        loc.set_pose(pose0[b], last0[b])
+        out = loc.process_chunk(
+            [imgs[b, j] for j in range(k)], list(odos[b])
+        )
+        ref_tracked = [p is not None for p in out]
+        # compare up to the fleet lane's first lost frame: the
+        # single-robot path may RELOCALIZE mid-chunk (host reloc), while
+        # a fleet lane freezes and waits for out-of-band recovery
+        flags = list(map(bool, tracked[b]))
+        upto = flags.index(False) if False in flags else k
+        assert ref_tracked[:upto] == flags[:upto]
+        for j in range(upto):
+            np.testing.assert_allclose(poses[b, j], out[j], atol=1e-3)
+    assert tracked.sum() >= B * k - 2, "fleet mostly tracked"
