@@ -96,3 +96,43 @@ def test_capacity_pressure_keeps_mapping():
     assert np.isfinite(corr).all()
     rmse, _ = ate_se2(corr[:, 1:3], world.gt[:n, :2])
     assert rmse < 0.5, f"ATE {rmse}"
+
+
+def test_capacity_pressure_chunked_feed():
+    """The chunked feed must survive capacity relief mid-chunk: the
+    compaction permutes keyframe slots and remaps the tracking state
+    while a chunk is in flight — the re-dispatch after the insert must
+    pick up the remapped state (system.process_chunk's segment loop)."""
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    oc = OrbConfig(height=120, width=160, n_features=128,
+                   scale_factor=1.2, n_levels=2)
+    cfg = SystemConfig(
+        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=128, max_level=2,
+        min_frames_between_kf=1, max_frames_between_kf=2,
+        local_iter=4,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=8, max_mps=512,
+            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
+    slam = SlamSystem(cfg, enable_loops=False)
+    frames = list(world.sequence(40, noise=(0.002, 0.001, 0.001)))
+    for i in range(0, 40, 8):
+        b = frames[i:i + 8]
+        poses = slam.process_chunk([f[0] for f in b], [f[1] for f in b])
+        assert np.isfinite(poses).all()
+
+    assert slam.frame_id == 40
+    assert slam.n_keyframes() <= cfg.cap.max_kfs
+    assert slam.capacity_compactions >= 1, "relief must have fired"
+    check_consistency(slam.ms)
+    est = np.asarray([p for _, p in slam.trajectory])
+    assert np.isfinite(est).all()
+    # retro-corrected trajectory survives the anchor remapping
+    corr = slam.corrected_trajectory()
+    assert np.isfinite(np.asarray(corr)).all()
