@@ -55,6 +55,13 @@ def _safe_z(z, eps: float = 1e-4):
     return jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
 
 
+def se2xyz_depth(pose, point_w, Tcb):
+    """Camera-frame depth of a world point seen from an SE(2) body pose
+    — the behind-camera guard statistic for the BA weight mask."""
+    lc, _ = _camera_frame_point(pose, point_w, Tcb)
+    return lc[..., 2]
+
+
 def se2xyz_residual(pose, point_w, uv, cam: CameraModel, Tcb):
     """Reprojection error of world point through an SE(2) body pose.
 

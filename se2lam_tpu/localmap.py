@@ -85,6 +85,10 @@ def _append_obs(ms: MapState, mp_idx, kf, feat_idx, active):
 
     mp_idx/feat_idx: (N,) int32; active: (N,) bool. Each active row adds
     one observation; overflow past the fan-in capacity P is dropped.
+    Returns (new MapState, (N,) bool mask of the appends that actually
+    landed) — callers MUST mask their forward kf_obs_mp writes by the
+    returned mask, or a full fan-in list leaves a dangling forward
+    pointer (the invariant test_prune.check_consistency enforces).
     """
     P = ms.mp_obs_kf.shape[1]
     m = jnp.clip(mp_idx, 0)
@@ -99,7 +103,7 @@ def _append_obs(ms: MapState, mp_idx, kf, feat_idx, active):
         mp_n_obs=ms.mp_n_obs.at[row].add(
             jnp.where(ok, 1, 0), mode="drop"
         ),
-    )
+    ), ok
 
 
 def _octave_dist_gates(octave, dist, scale_factor, n_levels):
@@ -160,7 +164,9 @@ def add_keyframe(
     inherit = (
         (match_idx >= 0) & (m_ref >= 0) & ms.mp_valid[jnp.clip(m_ref, 0)]
     )
-    ms = _append_obs(ms, m_ref, k, j, inherit)
+    # inh_ok ⊆ inherit: appends dropped by a full fan-in list must not
+    # leave a forward pointer in the new KF's row
+    ms, inh_ok = _append_obs(ms, m_ref, k, j, inherit)
 
     # parallax promotion: new baseline may give a no-parallax MP good
     # geometry (MapPoint::updateParallax, src/MapPoint.cpp:124-185)
@@ -214,9 +220,9 @@ def add_keyframe(
         mp_max_dist=ms.mp_max_dist.at[srow].set(max_d, mode="drop"),
         n_mp=ms.n_mp + jnp.sum(ok.astype(jnp.int32)),
     )
-    # observations in both KFs
-    ms = _append_obs(ms, srow, ref_kf, jnp.arange(N, dtype=jnp.int32), ok)
-    ms = _append_obs(ms, srow, k, j, ok)
+    # observations in both KFs (fresh points: fan-in 0 → always lands)
+    ms, _ = _append_obs(ms, srow, ref_kf, jnp.arange(N, dtype=jnp.int32), ok)
+    ms, _ = _append_obs(ms, srow, k, j, ok)
     # wire feature → MP in the ref-KF row; back-fill its camera-frame view
     # estimate + anisotropic info (the reference's mViewMPs/mViewMPsInfo
     # back-fill, src/MapPoint.cpp:150-170)
@@ -237,8 +243,8 @@ def add_keyframe(
         ),
     )
     # new-KF observation row: per current feature, MP from inherit or mint
-    inh_row = jnp.full((N,), -1, jnp.int32).at[jnp.where(inherit, j, N)].set(
-        jnp.where(inherit, m_ref, -1), mode="drop"
+    inh_row = jnp.full((N,), -1, jnp.int32).at[jnp.where(inh_ok, j, N)].set(
+        jnp.where(inh_ok, m_ref, -1), mode="drop"
     )
     mint_row = jnp.full((N,), -1, jnp.int32).at[jnp.where(ok, j, N)].set(
         jnp.where(ok, slot, -1), mode="drop"
@@ -281,10 +287,10 @@ def add_keyframe(
         level_offset=2,         # findCorrespd passes 2 (src/LocalMapper.cpp:118)
     )
     proj_ok = proj_match >= 0
-    obs_row = jnp.where(proj_ok, proj_match, obs_row)
-    ms = _append_obs(
+    ms, proj_ok = _append_obs(
         ms, proj_match, k, jnp.arange(N, dtype=jnp.int32), proj_ok
     )
+    obs_row = jnp.where(proj_ok, proj_match, obs_row)
 
     # ---- finalize the new KF's observation row + view estimates ----
     has_obs = obs_row >= 0
@@ -429,6 +435,16 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         jnp.clip(ms.kf_pre_next, 0)
     ].set(jnp.where(has_next, jnp.arange(K, dtype=jnp.int32), -1),
           mode="drop")
+    # endpoints of verified loop/feature constraints are not prunable:
+    # unlike odometry edges (spliced via composed preintegration below),
+    # a ftr edge has no re-targeting machinery — dropping it would
+    # silently discard loop-closure information the detector already
+    # paid for and counted
+    ftr_endpoint = (
+        jnp.zeros((K,), bool)
+        .at[jnp.where(ms.ftr_valid, ms.ftr_i, K)].set(True, mode="drop")
+        .at[jnp.where(ms.ftr_valid, ms.ftr_j, K)].set(True, mode="drop")
+    )
     candidate = (
         ms.kf_valid
         & (ratio >= min_ratio)
@@ -437,6 +453,7 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         & ((n_mp_kf > 0) | (min_ratio <= 0.0))
         & has_next
         & (prev_of >= 0)
+        & ~ftr_endpoint
         & (jnp.arange(K) != cur_kf)
         & (jnp.arange(K) != protect)   # e.g. the live tracking reference
     )
@@ -729,6 +746,10 @@ def obs_sigma_info(p_o, x_o, Tcw_o, octave_o, obs_valid, cfg, cam):
     Sigma = jax.vmap(
         lambda pp, xx, ll, tt, ss: factors.se2xyz_sigma(
             pp, xx, ll, cam, tt, ss,
+            # ONE sigma for both marginalized rotation directions: the
+            # reference's own formula uses only PLANEMOTION_XROT_INFO
+            # (src/Map.cpp:1043, `Sigma_rotxy = 1./XROT_INFO`) and never
+            # reads YROT_INFO here — kept config-identical, not "fixed"
             1.0 / cfg.plane_motion_xrot_info,
             1.0 / cfg.plane_motion_z_info,
         )
@@ -918,11 +939,22 @@ def remove_outlier_obs(ms: MapState, cur_kf, cfg: SystemConfig):
         jnp.where(fwd_ok, ms.mp_obs_feat, -1), order, axis=1
     )
     n_obs = jnp.sum(obs_kf >= 0, axis=1).astype(jnp.int32)
+    new_valid = ms.mp_valid & (n_obs >= 2)
+    # killing a point (<2 obs) must also clear the SURVIVING keyframes'
+    # forward pointers to it, or their feature slots stay blocked and
+    # the forward→inverse invariant breaks (same cleanup
+    # prune_redundant_kf performs; Map::removeLocalOutlierMP erases the
+    # observations on both sides, src/Map.cpp:700-752)
+    fwd = ms.kf_obs_mp
+    fwd = jnp.where(
+        (fwd >= 0) & ~new_valid[jnp.clip(fwd, 0)], -1, fwd
+    )
     return ms._replace(
+        kf_obs_mp=fwd,
         mp_obs_kf=obs_kf,
         mp_obs_feat=obs_ft,
         mp_n_obs=n_obs,
-        mp_valid=ms.mp_valid & (n_obs >= 2),
+        mp_valid=new_valid,
     ), jnp.sum(bad.astype(jnp.int32))
 
 
@@ -938,7 +970,6 @@ def run_local_ba(ms: MapState, cur_kf, cfg: SystemConfig):
     ba_cfg = BAConfig(
         iters=cfg.local_iter,
         huber_delta=float(cfg.th_huber2) ** 0.5,
-        chi2_thresh=cfg.th_huber2,
     )
     poses, points, info = solve_local_ba(win.prob, cam, Tcb, ba_cfg)
 

@@ -621,7 +621,6 @@ def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
     ba_cfg = BAConfig(
         iters=iters,
         huber_delta=float(cfg.th_huber2) ** 0.5,
-        chi2_thresh=cfg.th_huber2,
         # build_global_ba enumerates observations as the M×P grid of the
         # inverse tables — let the assembly reshape-sum the point blocks
         obs_grid_p=int(ms.mp_obs_kf.shape[1]),

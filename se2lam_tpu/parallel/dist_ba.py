@@ -175,9 +175,15 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             w_h = jnp.where(
                 sqrt_chi > huber_delta, huber_delta / sqrt_chi, 1.0
             )
-            W = dp.obs_info * jnp.where(dp.obs_valid, w_h, 0.0)[
-                :, None, None
-            ]
+            # zero-weight points at/behind the camera at the CURRENT
+            # state (same guard as solver/ba._obs_blocks: _safe_z-clamped
+            # depths produce ~fx/z² Jacobians that swamp f32 rows)
+            z = jax.vmap(
+                lambda pp, xx: factors.se2xyz_depth(pp, xx, Tcb)
+            )(p, x)
+            W = dp.obs_info * jnp.where(
+                dp.obs_valid & (z > 1e-3), w_h, 0.0
+            )[:, None, None]
             return r, Jp, Jx, W, chi2
 
         def edge_terms(poses):

@@ -63,8 +63,8 @@ class BAProblem(NamedTuple):
 
 class BAConfig(NamedTuple):
     iters: int = 10            # Config::LOCAL_ITER analog
-    huber_delta: float = 5.99  # sqrt(th_huber2), Config::TH_HUBER
-    chi2_thresh: float = 25.0  # outlier demotion gate (src/LocalMapper.cpp:185)
+    huber_delta: float = 5.0   # Config::TH_HUBER = sqrt(th_huber2=25)
+    #                            (src/Config.cpp:155)
     lm_init_lambda: float = 1e-4
     lm_up: float = 10.0
     lm_down: float = 0.5
@@ -97,9 +97,14 @@ def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
     # Huber: w = delta / sqrt(chi2) above the kink (g2o RobustKernelHuber)
     sqrt_chi = jnp.sqrt(jnp.maximum(chi2, 1e-12))
     w_huber = jnp.where(sqrt_chi > huber_delta, huber_delta / sqrt_chi, 1.0)
-    w = jnp.where(prob.obs_valid, w_huber, 0.0)
-    # fold depth-behind-camera observations to zero weight: a point behind
-    # either camera produces garbage Jacobians
+    # zero-weight observations whose point sits at/behind the camera AT
+    # THE CURRENT STATE (obs_valid is fixed at build time, but LM steps
+    # move poses/points): _safe_z clamps such depths to ±1e-4, whose
+    # ~fx/z² Jacobians would otherwise swamp the f32 Hessian rows
+    z = jax.vmap(
+        lambda pp, xx: factors.se2xyz_depth(pp, xx, Tcb)
+    )(p, x)
+    w = jnp.where(prob.obs_valid & (z > 1e-3), w_huber, 0.0)
     W = prob.obs_info * w[:, None, None]
     return r, Jp, Jx, W, chi2
 

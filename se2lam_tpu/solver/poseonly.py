@@ -30,18 +30,26 @@ def solve_pose_only(
     cam: CameraModel,
     Tcb,
     iters: int = 30,
-    huber_delta: float = 5.99,
+    huber_delta: float = 5.0,   # Config::TH_HUBER = sqrt(th_huber2=25)
+    #                             (src/Config.cpp:155; Localizer::DoLocalBA
+    #                              uses it as the kernel delta, :255)
     lm_lambda: float = 1e-4,
 ):
     """Returns (pose, chi2, n_inliers). Observations with chi2 > huber²
     at convergence count as outliers."""
 
     def chi2_of(p):
+        """Huber-robustified cost — the SAME objective the weighted GN
+        steps descend. Accepting on the raw chi2 lets one gross outlier
+        veto every step: a move toward the inlier consensus increases
+        the outlier's squared residual faster than it reduces the
+        inliers' (the bug class fixed in solver/ba.py's accept test)."""
         r = jax.vmap(
             lambda x, u: factors.se2xyz_residual(p, x, u, cam, Tcb)
         )(points, uv)
         c = jnp.sum(r * r, axis=-1)
-        return jnp.sum(jnp.where(valid, jnp.minimum(c, 1e6), 0.0)), c
+        rho = factors.huber_rho(jnp.minimum(c, 1e6), huber_delta)
+        return jnp.sum(jnp.where(valid, rho, 0.0)), c
 
     def step(_, state):
         p, lam, last = state

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import factors
-from ..ops import se2
+from ..ops import linalg, se2
 from ..ops.camera import CameraModel
 
 __all__ = ["marginalize_pair_constraint"]
@@ -71,7 +71,10 @@ def marginalize_pair_constraint(
         "mab,m,mac->mbc", Jxj, w, Jxj
     )
     eye3 = jnp.eye(3, dtype=dtype)
-    Hxx_inv = jnp.linalg.inv(Hxx + 1e-8 * eye3[None])
+    # adjugate 3x3 inverse, not batched jnp.linalg.inv: tiny batched LU
+    # is a slow TPU custom-call (ops/linalg.py module doc) and every
+    # other solver already routes through inv3x3
+    Hxx_inv = linalg.inv3x3(Hxx + 1e-8 * eye3[None])
 
     # Schur: conditional info of pose_j (reference DoMarginalizeSE3XYZ,
     # src/sparsifier.cpp:149-170)
@@ -83,7 +86,7 @@ def marginalize_pair_constraint(
     # optimum, info_rel = Jj⁻ᵀ Hjj_marg Jj⁻¹
     meas = se2.minus(pose_j, pose_i)
     _, _, Jj = factors.pre_se2_residual_jac(pose_i, pose_j, meas)
-    Jj_inv = jnp.linalg.inv(Jj)
+    Jj_inv = linalg.inv3x3(Jj)
     info = Jj_inv.T @ Hjj_marg @ Jj_inv
 
     # symmetrize + eigenvalue clamp (reference InfoSE3,
@@ -92,4 +95,11 @@ def marginalize_pair_constraint(
     evals, evecs = jnp.linalg.eigh(info)
     evals = jnp.clip(evals, clamp[0], clamp[1])
     info = (evecs * evals[None, :]) @ evecs.T
+    # the f32 reconstruction carries ~eps·λmax absolute noise, which can
+    # push the clamp-floor eigenvalues negative again (the reference
+    # does this in f64 where the floor survives); a diagonal shift of
+    # that magnitude restores positive-definiteness with negligible
+    # distortion of the informative directions
+    shift = clamp[0] + 8.0 * jnp.finfo(info.dtype).eps * jnp.max(evals)
+    info = 0.5 * (info + info.T) + shift * jnp.eye(3, dtype=info.dtype)
     return meas, info

@@ -117,3 +117,57 @@ def test_ba_works_after_prune(rng):
     ms3, info = localmap.run_local_ba(ms2, jnp.asarray(kfs[-1]), cfg)
     assert np.isfinite(float(info["chi2"]))
     assert np.isfinite(np.asarray(ms3.kf_pose)).all()
+
+
+def test_prune_skips_ftr_edge_endpoints(rng):
+    """A KF that anchors a verified loop/feature constraint must not be
+    pruned: unlike odometry edges (spliced via composed preintegration),
+    a ftr edge has no re-targeting machinery — dropping its endpoint
+    would silently discard paid-for loop information."""
+    cfg, ms, kfs = dense_map(rng)
+    _, kid = localmap.prune_redundant_kf(ms, jnp.asarray(kfs[-1]))
+    kid = int(kid)
+    assert kid >= 0
+    # pin a feature edge onto the KF prune would otherwise pick
+    ms_ftr = ms._replace(
+        ftr_i=ms.ftr_i.at[0].set(kid),
+        ftr_j=ms.ftr_j.at[0].set(0),
+        ftr_valid=ms.ftr_valid.at[0].set(True),
+    )
+    ms2, kid2 = localmap.prune_redundant_kf(ms_ftr, jnp.asarray(kfs[-1]))
+    assert int(kid2) != kid
+    assert bool(ms2.kf_valid[kid])
+    # an INVALID edge row naming the same KF must not protect it
+    ms_stale = ms._replace(
+        ftr_i=ms.ftr_i.at[0].set(kid),
+        ftr_j=ms.ftr_j.at[0].set(0),
+    )
+    _, kid3 = localmap.prune_redundant_kf(ms_stale, jnp.asarray(kfs[-1]))
+    assert int(kid3) == kid
+
+
+def test_append_obs_overflow_masked(rng):
+    """Appends past the fan-in capacity P are dropped AND reported: the
+    returned mask is what keeps callers from writing a forward pointer
+    with no inverse entry (the dangling-pointer class check_consistency
+    catches)."""
+    cfg, ms, kfs = dense_map(rng)
+    P = ms.mp_obs_kf.shape[1]
+    victim = int(np.nonzero(np.asarray(ms.mp_valid))[0][0])
+    ms_full = ms._replace(mp_n_obs=ms.mp_n_obs.at[victim].set(P))
+    idx = jnp.asarray([victim], jnp.int32)
+    ft = jnp.asarray([3], jnp.int32)
+    on = jnp.asarray([True])
+    ms2, ok = localmap._append_obs(
+        ms_full, idx, jnp.asarray(kfs[-1]), ft, on
+    )
+    assert not bool(ok[0])
+    assert int(ms2.mp_n_obs[victim]) == P
+    np.testing.assert_array_equal(
+        np.asarray(ms2.mp_obs_kf[victim]),
+        np.asarray(ms_full.mp_obs_kf[victim]),
+    )
+    # a non-full point still lands and reports True
+    ms3, ok3 = localmap._append_obs(ms, idx, jnp.asarray(kfs[-1]), ft, on)
+    assert bool(ok3[0])
+    assert int(ms3.mp_n_obs[victim]) == int(ms.mp_n_obs[victim]) + 1
