@@ -435,11 +435,14 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         jnp.clip(ms.kf_pre_next, 0)
     ].set(jnp.where(has_next, jnp.arange(K, dtype=jnp.int32), -1),
           mode="drop")
-    # endpoints of verified loop/feature constraints are not prunable:
-    # unlike odometry edges (spliced via composed preintegration below),
-    # a ftr edge has no re-targeting machinery — dropping it would
-    # silently discard loop-closure information the detector already
-    # paid for and counted
+    # endpoints of verified loop/feature constraints are not redundancy-
+    # prunable (reference parity: pruneRedundantKF skips KFs with feature
+    # edges, `!bHasFeatEdge`, src/Map.cpp:205-208) — unlike odometry
+    # edges (spliced via composed preintegration below), a ftr edge has
+    # no re-targeting machinery. The capacity escape hatch (min_ratio <=
+    # 0) OVERRIDES the protection: when the bank is full, sacrificing a
+    # loop constraint beats refusing to map — the ftr_valid clearing
+    # below drops the orphaned edge (its only live path).
     ftr_endpoint = (
         jnp.zeros((K,), bool)
         .at[jnp.where(ms.ftr_valid, ms.ftr_i, K)].set(True, mode="drop")
@@ -453,7 +456,7 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         & ((n_mp_kf > 0) | (min_ratio <= 0.0))
         & has_next
         & (prev_of >= 0)
-        & ~ftr_endpoint
+        & (~ftr_endpoint | (min_ratio <= 0.0))
         & (jnp.arange(K) != cur_kf)
         & (jnp.arange(K) != protect)   # e.g. the live tracking reference
     )
@@ -550,6 +553,9 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         ftr_j=ms.ftr_j,
         ftr_meas=ms.ftr_meas,
         ftr_info=ms.ftr_info,
+        # reachable only via the capacity escape hatch (min_ratio <= 0):
+        # redundancy pruning never selects a ftr endpoint, but a
+        # capacity-forced prune drops the orphaned edge here
         ftr_valid=ms.ftr_valid
         & (ms.ftr_i != kid_c)
         & (ms.ftr_j != kid_c),

@@ -324,7 +324,14 @@ def add_ftr_edge(ms: MapState, i, j, meas, info):
     KeyFrame::addFtrMeasureFrom, include/se2lam/KeyFrame.h:101-108)."""
     F = ms.ftr_valid.shape[0]
     slot = jnp.argmin(ms.ftr_valid)          # first free slot
-    slot = jnp.where(ms.ftr_valid[slot], F, slot)  # bank full → drop
+    # bank full → evict the lowest-information edge rather than silently
+    # dropping the new verified constraint (prune_redundant_kf protects
+    # edge endpoints, so without eviction a full bank would reject every
+    # later loop closure for the rest of the run)
+    weakest = jnp.argmin(
+        jnp.trace(ms.ftr_info, axis1=-2, axis2=-1)
+    )
+    slot = jnp.where(ms.ftr_valid[slot], weakest, slot)
     return ms._replace(
         ftr_i=ms.ftr_i.at[slot].set(i, mode="drop"),
         ftr_j=ms.ftr_j.at[slot].set(j, mode="drop"),

@@ -42,6 +42,7 @@ from jax import shard_map
 
 from .. import factors
 from ..ops import linalg, se2
+from ..solver import ba as ba_mod
 from ..solver.ba import BAConfig, BAProblem, schur_reduce
 
 __all__ = [
@@ -181,10 +182,11 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             z = jax.vmap(
                 lambda pp, xx: factors.se2xyz_depth(pp, xx, Tcb)
             )(p, x)
+            z_ok = z > 1e-3
             W = dp.obs_info * jnp.where(
-                dp.obs_valid & (z > 1e-3), w_h, 0.0
+                dp.obs_valid & z_ok, w_h, 0.0
             )[:, None, None]
-            return r, Jp, Jx, W, chi2
+            return r, Jp, Jx, W, chi2, z_ok
 
         def edge_terms(poses):
             r, Ji, Jj = jax.vmap(factors.pre_se2_residual_jac)(
@@ -197,8 +199,18 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
         def robust_cost(poses, points_sh):
             """ba_chi2 analog: psum'd Huber rho over sharded obs +
             replicated edge chi2."""
-            r_o, _, _, _, chi_o = obs_terms(poses, points_sh, jnp.inf)
-            rho = factors.huber_rho(chi_o, cfg.huber_delta)
+            r_o, _, _, _, chi_o, z_ok = obs_terms(
+                poses, points_sh, jnp.inf
+            )
+            # behind-camera obs carry zero step weight, so their accept
+            # cost is pinned at the cap — state-independent, it cancels
+            # between last/new sums instead of vetoing undescendable
+            # steps (same scheme as solver.ba.ba_chi2/_CHI2_CAP)
+            chi_c = jnp.where(
+                z_ok, jnp.minimum(chi_o, ba_mod._CHI2_CAP),
+                ba_mod._CHI2_CAP,
+            )
+            rho = factors.huber_rho(chi_c, cfg.huber_delta)
             c_obs = jax.lax.psum(
                 jnp.sum(jnp.where(dp.obs_valid, rho, 0.0)), axis
             )
@@ -210,7 +222,7 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             the Schur-reduced camera system, replicated reduced solve,
             local back-substitution."""
             Mb = points_sh.shape[0]
-            r_o, Jp, Jx, W, chi_o = obs_terms(
+            r_o, Jp, Jx, W, chi_o, _ = obs_terms(
                 poses, points_sh, cfg.huber_delta
             )
             JpW = jnp.einsum("oab,oac->obc", Jp, W)

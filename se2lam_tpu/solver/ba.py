@@ -101,12 +101,28 @@ def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
     # THE CURRENT STATE (obs_valid is fixed at build time, but LM steps
     # move poses/points): _safe_z clamps such depths to ±1e-4, whose
     # ~fx/z² Jacobians would otherwise swamp the f32 Hessian rows
-    z = jax.vmap(
-        lambda pp, xx: factors.se2xyz_depth(pp, xx, Tcb)
-    )(p, x)
-    w = jnp.where(prob.obs_valid & (z > 1e-3), w_huber, 0.0)
+    w = jnp.where(
+        prob.obs_valid & _obs_depth_ok(prob, Tcb), w_huber, 0.0
+    )
     W = prob.obs_info * w[:, None, None]
     return r, Jp, Jx, W, chi2
+
+
+# chi2 ceiling for the accept cost: observations the step cannot act on
+# (behind-camera, zero-weighted in _obs_blocks) are pinned AT the ceiling
+# so they cancel between the last/new accept sums instead of deciding
+# them — and an in-front observation's cost saturates at the same value,
+# so a step gains nothing by shoving a degenerate point across z=0
+_CHI2_CAP = 1e6
+
+
+def _obs_depth_ok(prob: BAProblem, Tcb):
+    """Per-observation gate: point strictly in front of its camera at the
+    problem's current state (the statistic _obs_blocks zero-weights on)."""
+    z = jax.vmap(
+        lambda pp, xx: factors.se2xyz_depth(pp, xx, Tcb)
+    )(prob.poses[prob.obs_kf], prob.points[prob.obs_mp])
+    return z > 1e-3
 
 
 def _edge_blocks(prob: BAProblem):
@@ -135,10 +151,16 @@ def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
     rho (2δ√χ² − δ² above the kink) so the LM accept decision optimizes
     the SAME robust objective the weighted steps descend — with the raw
     chi2 a single gross outlier could veto every step (g2o accepts on
-    the robustified active chi2 too)."""
+    the robustified active chi2 too). Behind-camera observations carry
+    zero weight in the step (_obs_blocks), so here their chi2 is pinned
+    at _CHI2_CAP: a state-independent term that cancels in the accept
+    comparison rather than vetoing steps the solver cannot descend."""
     r_o, _, _, _, chi_o = _obs_blocks(prob, cam, Tcb, jnp.inf)
     _, _, _, _, chi_e = _edge_blocks(prob)
-    rho = factors.huber_rho(chi_o, huber_delta)
+    chi_c = jnp.where(
+        _obs_depth_ok(prob, Tcb), jnp.minimum(chi_o, _CHI2_CAP), _CHI2_CAP
+    )
+    rho = factors.huber_rho(chi_c, huber_delta)
     return (
         jnp.sum(jnp.where(prob.obs_valid, rho, 0.0))
         + jnp.sum(jnp.where(prob.edge_valid, chi_e, 0.0))

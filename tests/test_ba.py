@@ -252,3 +252,33 @@ class TestLocalBA:
         # robustified solve should still land near ground truth
         err = np.abs(np.asarray(poses) - np.asarray(prob_gt.poses)).max()
         assert err < 0.02, err
+
+    def test_behind_camera_obs_does_not_stall(self, rng):
+        """An obs_valid observation whose point sits behind the camera is
+        zero-weighted in the step AND pinned at the chi2 cap in the
+        accept cost: it must neither blow up the solve nor veto the
+        steps that converge the healthy observations (the accept/step
+        objective-mismatch bug class)."""
+        prob_gt, cam, Tcb = make_problem(rng, K=6, M=24)
+        dp = rng.normal(0, 0.05, prob_gt.poses.shape).astype(np.float32)
+        dp[0] = 0
+        dx = rng.normal(0, 0.05, prob_gt.points.shape).astype(np.float32)
+        # drag point 0 far behind every camera, but KEEP its
+        # observations marked valid — the build-time gate cannot see
+        # mid-solve geometry, so the solver must handle this live
+        pts = (prob_gt.points + jnp.asarray(dx)).at[0].set(
+            jnp.asarray([-5.0, 0.0, 0.0], jnp.float32)
+        )
+        prob = prob_gt._replace(
+            poses=prob_gt.poses + jnp.asarray(dp), points=pts
+        )
+        poses, points, info = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=12)
+        )
+        assert np.isfinite(float(info["chi2"]))
+        err = np.abs(np.asarray(poses) - np.asarray(prob_gt.poses)).max()
+        assert err < 0.02, err
+        good = np.asarray(points)[1:]
+        np.testing.assert_allclose(
+            good, np.asarray(prob_gt.points)[1:], atol=2e-2
+        )

@@ -144,6 +144,49 @@ def test_prune_skips_ftr_edge_endpoints(rng):
     )
     _, kid3 = localmap.prune_redundant_kf(ms_stale, jnp.asarray(kfs[-1]))
     assert int(kid3) == kid
+    # the capacity escape hatch (min_ratio <= 0) overrides the
+    # protection — and the orphaned edge is dropped with its endpoint
+    ms4, kid4 = localmap.prune_redundant_kf(
+        ms_ftr, jnp.asarray(kfs[-1]), min_ratio=0.0
+    )
+    assert int(kid4) >= 0
+    if int(kid4) == kid:
+        assert not bool(ms4.ftr_valid[0])
+
+
+def test_ftr_bank_full_evicts_weakest(rng):
+    """A full constraint bank evicts the lowest-information edge for a
+    new verified one (endpoints are prune-protected, so without eviction
+    a full bank would reject every later loop closure)."""
+    from se2lam_tpu import loopclose
+
+    cfg, ms, kfs = dense_map(rng)
+    F = ms.ftr_valid.shape[0]
+    info = jnp.tile(jnp.eye(3, dtype=jnp.float32), (F, 1, 1)) * (
+        10.0 + jnp.arange(F, dtype=jnp.float32)[:, None, None]
+    )
+    ms_full = ms._replace(
+        ftr_i=jnp.arange(F, dtype=jnp.int32) % 4,
+        ftr_j=(jnp.arange(F, dtype=jnp.int32) % 4) + 4,
+        ftr_info=info.at[2].set(jnp.eye(3) * 0.5),  # slot 2 weakest
+        ftr_valid=jnp.ones(F, bool),
+    )
+    new_info = jnp.eye(3, dtype=jnp.float32) * 50.0
+    ms2 = loopclose.add_ftr_edge(
+        ms_full, jnp.int32(1), jnp.int32(9),
+        jnp.zeros(3, jnp.float32), new_info,
+    )
+    assert int(ms2.ftr_i[2]) == 1 and int(ms2.ftr_j[2]) == 9
+    assert bool(ms2.ftr_valid[2])
+    np.testing.assert_allclose(np.asarray(ms2.ftr_info[2]),
+                               np.asarray(new_info))
+    # a non-full bank still fills the first free slot
+    ms_gap = ms_full._replace(ftr_valid=ms_full.ftr_valid.at[5].set(False))
+    ms3 = loopclose.add_ftr_edge(
+        ms_gap, jnp.int32(1), jnp.int32(9),
+        jnp.zeros(3, jnp.float32), new_info,
+    )
+    assert bool(ms3.ftr_valid[5]) and int(ms3.ftr_i[5]) == 1
 
 
 def test_append_obs_overflow_masked(rng):
