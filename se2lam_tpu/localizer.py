@@ -412,6 +412,9 @@ class Localizer:
         # can be a sparse early keyframe with too few map points even when
         # a close runner-up verifies fine
         top_scores, top_cands = jax.lax.top_k(scores, min(3, scores.shape[0]))
+        # one fetch for all candidates: element-wise int()/float() in the
+        # loop would pay up to 6 tunnel round-trips per lost frame
+        top_scores, top_cands = jax.device_get((top_scores, top_cands))
         for j in range(top_scores.shape[0]):
             cand = int(top_cands[j])
             if float(top_scores[j]) < self.reloc_min_score:

@@ -318,20 +318,26 @@ def select_feat_pairs(ms: MapState, k, hops: int = 5, max_cands: int = 4):
     return out
 
 
-@jax.jit
-def add_ftr_edge(ms: MapState, i, j, meas, info):
+@partial(jax.jit, static_argnames=("evict_if_full",))
+def add_ftr_edge(ms: MapState, i, j, meas, info, evict_if_full=False):
     """Record a sparsified feature/loop constraint (the SE2 analog of
-    KeyFrame::addFtrMeasureFrom, include/se2lam/KeyFrame.h:101-108)."""
+    KeyFrame::addFtrMeasureFrom, include/se2lam/KeyFrame.h:101-108).
+
+    ``evict_if_full``: a full bank evicts its lowest-information edge
+    rather than dropping the new one. Verified loop closures pass True —
+    prune_redundant_kf protects edge endpoints, so without eviction a
+    full bank would reject every later closure for the rest of the run.
+    Covisibility densification edges keep the default (drop): evicting
+    for a nice-to-have edge would churn the bank at capacity."""
     F = ms.ftr_valid.shape[0]
     slot = jnp.argmin(ms.ftr_valid)          # first free slot
-    # bank full → evict the lowest-information edge rather than silently
-    # dropping the new verified constraint (prune_redundant_kf protects
-    # edge endpoints, so without eviction a full bank would reject every
-    # later loop closure for the rest of the run)
-    weakest = jnp.argmin(
-        jnp.trace(ms.ftr_info, axis1=-2, axis2=-1)
-    )
-    slot = jnp.where(ms.ftr_valid[slot], weakest, slot)
+    if evict_if_full:
+        weakest = jnp.argmin(
+            jnp.trace(ms.ftr_info, axis1=-2, axis2=-1)
+        )
+        slot = jnp.where(ms.ftr_valid[slot], weakest, slot)
+    else:
+        slot = jnp.where(ms.ftr_valid[slot], F, slot)  # full → drop
     return ms._replace(
         ftr_i=ms.ftr_i.at[slot].set(i, mode="drop"),
         ftr_j=ms.ftr_j.at[slot].set(j, mode="drop"),
@@ -696,7 +702,7 @@ class LoopCloser:
         self.bank = None          # (Kmax, W) BoW vectors
         self.key = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
-        self.n_loops_dropped = 0   # verified but constraint bank was full
+        self.n_ftr_evicted = 0     # bank-full closures that evicted an edge
         self.last_loop: tuple[int, int] | None = None
         self.last_loop_midx = None          # (N,) loop→cur feature matches
         self.last_global_ba_info: dict | None = None
@@ -707,16 +713,24 @@ class LoopCloser:
         trained vocabulary — e.g. one saved with a map checkpoint — must
         stay consistent with the in-session bank)."""
         self.vocab = vocab
-        v, _ = jax.vmap(
-            lambda d, m: vocab_mod.bow_transform(vocab, d, m)
-        )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
-        self.bank = v
+        self.rebuild_bank(ms)
         # an externally adopted vocabulary counts as trained now
-        # (prevents an immediate retrain on resume/compaction); seed the
-        # insertion counter from the map so a resumed session schedules
-        # its next retrain relative to the loaded map's size
+        # (prevents an immediate retrain on resume); seed the insertion
+        # counter from the map so a resumed session schedules its next
+        # retrain relative to the loaded map's size
         self._n_inserts = max(self._n_inserts, int(ms.n_kf))
         self._trained_at_nkf = max(self._trained_at_nkf, self._n_inserts)
+
+    def rebuild_bank(self, ms: MapState):
+        """Recompute every keyframe's BoW vector under the CURRENT
+        vocabulary — for slot remaps (capacity compaction), where the
+        vocabulary is unchanged and the retrain schedule must NOT be
+        touched (bumping _trained_at_nkf on every compaction would push
+        the retrain trigger out forever under sustained pressure)."""
+        v, _ = jax.vmap(
+            lambda d, m: vocab_mod.bow_transform(self.vocab, d, m)
+        )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
+        self.bank = v
 
     def _ensure_vocab(self, ms: MapState, n_inserts: int):
         fresh_enough = (
@@ -835,12 +849,14 @@ class LoopCloser:
             return ms
 
         if bool(bank_full):
-            # constraint bank full: applying the merge/global-BA without
-            # the new edge would corrupt the map silently — skip the
-            # closure and report (callers can raise MAX_FTR_EDGES)
-            self.n_loops_dropped += 1
-            return ms
-        ms = add_ftr_edge(ms, jnp.asarray(cand), jnp.asarray(k), meas, info)
+            # constraint bank full: add_ftr_edge evicts its lowest-
+            # information edge so the verified closure still lands —
+            # count the eviction (callers can raise MAX_FTR_EDGES)
+            self.n_ftr_evicted += 1
+        ms = add_ftr_edge(
+            ms, jnp.asarray(cand), jnp.asarray(k), meas, info,
+            evict_if_full=True,
+        )
         ms = merge_loop_mps(ms, k, cand, midx)
         ms, gba_info = run_global_ba(ms, iters=self.global_ba_iters)
         if cfg.gm_joint_ba_iters > 0:

@@ -30,6 +30,34 @@ from .ops.camera import CameraModel, undistort_points
 __all__ = ["SlamSystem"]
 
 
+def _np_se2_minus(pose, ref):
+    """Host-side ``se2.minus``: ``pose`` expressed in ``ref``'s frame.
+    One copy shared by every host-side anchor site — _np_se2_compose is
+    its exact inverse, and retro-correction is exact only while the
+    anchor record and its replay use inverse forms."""
+    dx, dy = pose[0] - ref[0], pose[1] - ref[1]
+    c, s = np.cos(ref[2]), np.sin(ref[2])
+    dt = pose[2] - ref[2]
+    return np.asarray(
+        [c * dx + s * dy, -s * dx + c * dy,
+         np.arctan2(np.sin(dt), np.cos(dt))],
+        np.float32,
+    )
+
+
+def _np_se2_compose(a, rel):
+    """Host-side ``se2.compose``: ``rel`` (in ``a``'s frame) applied to
+    ``a`` — the inverse of _np_se2_minus."""
+    c, s = np.cos(a[2]), np.sin(a[2])
+    th = a[2] + rel[2]
+    return np.asarray(
+        [a[0] + c * rel[0] - s * rel[1],
+         a[1] + s * rel[0] + c * rel[1],
+         np.arctan2(np.sin(th), np.cos(th))],
+        np.float32,
+    )
+
+
 class SlamSystem:
     """Monocular + wheel-odometry SE(2) SLAM engine.
 
@@ -176,6 +204,11 @@ class SlamSystem:
         )
         self._insert_keyframe(feats, jnp.asarray(odo, jnp.float32))
         self._resume_pending = False
+        # release the relocalization Localizer: it pins the ENTIRE
+        # loaded MapState (tens of MB of kf_desc) plus a duplicate BoW
+        # bank in device memory, and tracking owns the map from here
+        self._reloc_localizer = None
+        self._resume_vocab = None
         return True
 
     # -- reference-shaped split feed API (OdoSLAM::receiveOdoData/ImgData) --
@@ -323,16 +356,7 @@ class SlamSystem:
         """This frame's SE(2) pose relative to the current reference KF's
         host-mirrored pose — the retro-correction anchor record shared by
         the per-frame and chunked paths."""
-        dx = pose[0] - self._ref_pose_host[0]
-        dy = pose[1] - self._ref_pose_host[1]
-        c = np.cos(self._ref_pose_host[2])
-        s = np.sin(self._ref_pose_host[2])
-        dt = pose[2] - self._ref_pose_host[2]
-        return np.asarray(
-            [c * dx + s * dy, -s * dx + c * dy,
-             np.arctan2(np.sin(dt), np.cos(dt))],
-            np.float32,
-        )
+        return _np_se2_minus(pose, self._ref_pose_host)
 
     def process_chunk(self, imgs, odos) -> np.ndarray:
         """Feed ``k`` (image, odometry) pairs with ONE keyframe-decision
@@ -522,19 +546,15 @@ class SlamSystem:
             else:
                 # anchor keyframe compacted away: bake the absolute pose
                 # from its final estimate
-                a = old_kf_pose[ref]
-                c, s = np.cos(a[2]), np.sin(a[2])
-                th = a[2] + rel[2]
-                anchors.append((fid, -1, np.asarray([
-                    a[0] + c * rel[0] - s * rel[1],
-                    a[1] + s * rel[0] + c * rel[1],
-                    np.arctan2(np.sin(th), np.cos(th)),
-                ], np.float32)))
+                anchors.append(
+                    (fid, -1, _np_se2_compose(old_kf_pose[ref], rel))
+                )
         self._frame_anchors = anchors
         lc = self._loop_closer
         if lc is not None and lc.vocab is not None:
-            # bank rows move with their keyframes
-            lc.adopt_vocab(lc.vocab, self.ms)
+            # bank rows move with their keyframes; same vocabulary, so
+            # the retrain schedule is untouched
+            lc.rebuild_bank(self.ms)
         if lc is not None and lc.last_loop is not None:
             # the temporal loop throttle compares KF slot ids (slots are
             # insertion-ordered); stale pre-compaction ids would suppress
@@ -725,14 +745,7 @@ class SlamSystem:
                     # baked absolute pose (see _remap_slots)
                     p = (rel[0], rel[1], rel[2])
                 else:
-                    a = kf_pose[ref]
-                    c, s = np.cos(a[2]), np.sin(a[2])
-                    th = a[2] + rel[2]
-                    p = (
-                        a[0] + c * rel[0] - s * rel[1],
-                        a[1] + s * rel[0] + c * rel[1],
-                        np.arctan2(np.sin(th), np.cos(th)),
-                    )
+                    p = _np_se2_compose(kf_pose[ref], rel)
             else:
                 p = live                  # first frame(s): origin gauge
             out.append([fid, p[0], p[1], p[2]])

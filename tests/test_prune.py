@@ -172,9 +172,17 @@ def test_ftr_bank_full_evicts_weakest(rng):
         ftr_valid=jnp.ones(F, bool),
     )
     new_info = jnp.eye(3, dtype=jnp.float32) * 50.0
-    ms2 = loopclose.add_ftr_edge(
+    # default policy (covisibility densification): full bank DROPS
+    ms_drop = loopclose.add_ftr_edge(
         ms_full, jnp.int32(1), jnp.int32(9),
         jnp.zeros(3, jnp.float32), new_info,
+    )
+    np.testing.assert_array_equal(np.asarray(ms_drop.ftr_i),
+                                  np.asarray(ms_full.ftr_i))
+    # loop-closure policy: full bank evicts the weakest edge
+    ms2 = loopclose.add_ftr_edge(
+        ms_full, jnp.int32(1), jnp.int32(9),
+        jnp.zeros(3, jnp.float32), new_info, evict_if_full=True,
     )
     assert int(ms2.ftr_i[2]) == 1 and int(ms2.ftr_j[2]) == 9
     assert bool(ms2.ftr_valid[2])

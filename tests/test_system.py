@@ -166,3 +166,19 @@ def test_kf_trajectory_format(run_result, tmp_path):
     assert rows.shape[0] == slam.n_keyframes()
     assert rows.shape[1] == 5
     assert (rows[:, 3] == 0).all()  # planar: z = 0
+
+
+def test_np_se2_helpers_inverse(rng):
+    """_np_se2_compose must be the exact inverse of _np_se2_minus: every
+    host-side anchor site shares these two helpers, and retro-corrected
+    trajectories are exact only while that inverse relation holds."""
+    from se2lam_tpu.system import _np_se2_compose, _np_se2_minus
+
+    for _ in range(20):
+        ref = rng.uniform(-5, 5, 3).astype(np.float32)
+        pose = rng.uniform(-5, 5, 3).astype(np.float32)
+        rel = _np_se2_minus(pose, ref)
+        back = _np_se2_compose(ref, rel)
+        np.testing.assert_allclose(back[:2], pose[:2], atol=1e-4)
+        dt = np.arctan2(np.sin(back[2] - pose[2]), np.cos(back[2] - pose[2]))
+        assert abs(dt) < 1e-5
