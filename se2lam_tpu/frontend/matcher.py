@@ -73,14 +73,18 @@ def _mutual_filter(accept, best_idx, best_dist, n_cols):
     deterministic scatter-min: strictly at most one row per column wins.
     """
     n_rows = accept.shape[0]
-    row_ids = jnp.arange(n_rows, dtype=jnp.float32)
-    # unique tie-broken key: distance-major, row index as the tie-break.
-    # Hamming distances step by 1.0 (integer bit counts), so any stride
-    # > n_rows is order-preserving; 4·n_rows leaves headroom if a scaled
-    # distance (sub-integer steps) is ever routed through this filter.
-    key = jnp.where(accept, best_dist * (4.0 * n_rows) + row_ids, jnp.inf)
-    col_min = jnp.full((n_cols,), jnp.inf).at[best_idx].min(key)
-    return accept & (key <= col_min[best_idx])
+    row_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    # two-stage scatter-min, NOT a packed dist*stride+row float key: a
+    # packed f32 key loses the row tie-break to the 2^24 mantissa once
+    # dist_max·stride ≥ 2^24 (n_rows ≥ 16k at Hamming scale), letting
+    # two equal-distance rows both claim one column. Stage 1: each
+    # column's min distance; stage 2: lowest row id among its achievers.
+    d = jnp.where(accept, best_dist, jnp.inf)
+    col_min = jnp.full((n_cols,), jnp.inf).at[best_idx].min(d)
+    is_best = accept & (d <= col_min[best_idx])
+    r = jnp.where(is_best, row_ids, n_rows)
+    col_row = jnp.full((n_cols,), n_rows, jnp.int32).at[best_idx].min(r)
+    return is_best & (row_ids == col_row[best_idx])
 
 
 def _rotation_consistency(accept, angle1, angle2_at_best):

@@ -76,6 +76,10 @@ def _project_and_match(ms: MapState, feats: OrbFeatures, pose, cfg: SystemConfig
         ms.mp_desc,
         cand,
         feats.valid,
+        # the reference Localizer widens the octave gate to ±2
+        # (MatchByProjection(..., 15, 2, ...), src/Localizer.cpp:217) —
+        # localization revisits the map at different distances/scales
+        level_offset=2,
     )
     return feat_match, n
 

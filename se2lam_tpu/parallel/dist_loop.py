@@ -40,9 +40,15 @@ def sharded_bow_detect(bank, query, eligible):
 
 
 @jax.jit
-def sharded_hamming_detect(desc_bank, query_desc):
+def sharded_hamming_detect(desc_bank, query_desc, valid=None):
     """Nearest row of a ±1 descriptor bank (sharded or not): one matmul +
     argmin, the building block for brute-force relocalization. Distance
-    comes from ``matcher.hamming_matrix`` (single convention)."""
+    comes from ``matcher.hamming_matrix`` (single convention).
+
+    ``valid`` masks padded/pruned bank rows: a zeroed ±1 row scores a
+    flat distance of 128 against ANY query, so on a miss (every real
+    distance > 128) an unmasked padding row would win the argmin."""
     dist = hamming_matrix(desc_bank, query_desc)[:, 0]
+    if valid is not None:
+        dist = jnp.where(valid, dist, jnp.inf)
     return jnp.argmin(dist), jnp.min(dist)

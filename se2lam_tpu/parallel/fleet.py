@@ -24,10 +24,11 @@ __all__ = ["make_fleet_tracker", "shard_fleet"]
 
 
 def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None):
-    """Returns (init_fn, step_fn):
+    """Returns (init_fn, step_fn, extract_fn):
 
     - init_fn(feats_b, pose_b, odom_b) → batched TrackState
     - step_fn(ts_b, imgs_b, odo_b, keys_b) → (ts_b, TrackResult_b)
+    - extract_fn(imgs_b) → batched OrbFeatures
 
     All arguments carry a leading robot axis B; step_fn is jitted once
     for any B (retrace per batch size).
@@ -53,16 +54,24 @@ def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None):
             )
         )(feats_b, pose_b, odom_b)
 
+    def _extract_b(imgs_b):
+        # sequential lax.map over robots, NOT vmap: the extractor's
+        # one-hot patch-gather intermediates are per-frame large and a
+        # vmapped batch multiplies that peak by B (observed TPU worker
+        # OOM-crash at batch 24 — see make_batch_extractor); tracking
+        # below stays vmapped, its state is small
+        return jax.lax.map(
+            lambda im: extract(im.astype(jnp.float32)), imgs_b
+        )
+
     @jax.jit
     def step_fn(ts_b, imgs_b, odo_b, keys_b):
-        feats_b = jax.vmap(extract)(imgs_b.astype(jnp.float32))
+        feats_b = _extract_b(imgs_b)
         return jax.vmap(
             lambda ts, f, o, k: tracking.track_frame(ts, f, o, k, cfg)
         )(ts_b, feats_b, odo_b, keys_b)
 
-    @jax.jit
-    def extract_fn(imgs_b):
-        return jax.vmap(extract)(imgs_b.astype(jnp.float32))
+    extract_fn = jax.jit(_extract_b)
 
     return init_fn, step_fn, extract_fn
 

@@ -59,10 +59,17 @@ def make_fleet_localizer(cfg: SystemConfig, ms: MapState,
 
     @jax.jit
     def extract_fn(img_stack):
-        # (B, k, H, W) → per-robot sequential chunks, robots vmapped.
-        # Peak extractor memory scales with B (each robot's lax.map step
-        # holds one frame's intermediates) — size fleets accordingly.
-        return jax.vmap(batch_extract)(img_stack)
+        # (B, k, H, W) → flatten to one (B*k,) sequential lax.map so
+        # peak extractor memory stays at ONE frame's intermediates
+        # regardless of fleet size (vmapping batch_extract over robots
+        # multiplies the per-step peak by B — the observed TPU worker
+        # OOM-crash pattern at batch 24, see make_batch_extractor)
+        B, k = img_stack.shape[0], img_stack.shape[1]
+        flat = img_stack.reshape((B * k,) + img_stack.shape[2:])
+        feats = batch_extract(flat)
+        return jax.tree.map(
+            lambda x: x.reshape((B, k) + x.shape[1:]), feats
+        )
 
     @jax.jit
     def step_fn(ms_in, pose_b, last_odom_b, feats_bk, odo_bk):

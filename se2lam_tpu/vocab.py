@@ -156,4 +156,8 @@ def bow_score(bank, v):
     diff = jnp.abs(bank - v[None, :])
     s = 1.0 - 0.5 * jnp.sum(diff, axis=1)
     nz = jnp.any(bank != 0.0, axis=1)
+    # the same argument applies to the QUERY side: an all-zero query (a
+    # frame with no valid descriptors) scores 0.5 against every nonzero
+    # row — above every detection gate — so it must match nothing
+    nz = nz & jnp.any(v != 0.0)
     return jnp.where(nz, s, -jnp.inf)

@@ -36,6 +36,11 @@ def test_vocab_same_scene_scores_higher(rng):
     s = np.asarray(vocab_mod.bow_score(bank, va))
     assert s[0] == pytest.approx(1.0, abs=1e-5)  # self-score = 1
     assert s[1] > s[2] + 0.05                    # overlap ranks higher
+    # an all-zero QUERY (frame with no valid descriptors) scores 0.5
+    # against every nonzero row under the raw L1 formula — above every
+    # detection gate — so it must score -inf everywhere instead
+    s0 = np.asarray(vocab_mod.bow_score(bank, jnp.zeros_like(va)))
+    assert np.all(np.isneginf(s0))
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,11 @@ def test_sharded_loop_detect(rng):
     db = shard_bank(desc, mesh)
     i, d = sharded_hamming_detect(db, desc[11][None])
     assert int(i) == 11 and float(d) == 0.0
+    # a zeroed (padded/pruned) row scores a flat 128 against any query —
+    # on a miss it would win the argmin unless masked out
+    desc_pad = desc.at[5].set(0)
+    valid = jnp.ones(K, bool).at[5].set(False)
+    db_pad = shard_bank(desc_pad, mesh)
+    far = -desc[11][None]  # 256 from row 11, ~128 from the others
+    i3, _ = sharded_hamming_detect(db_pad, far, valid)
+    assert int(i3) != 5
