@@ -25,3 +25,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_mappings():
+    """Drop jit caches after each test module.
+
+    Every XLA:CPU compilation mmaps ~7 code/data regions that stay
+    mapped while the cached executable is alive. The full suite compiles
+    enough distinct programs to hit the kernel's vm.max_map_count
+    (65530), at which point the NEXT compile's mmap fails and LLVM
+    segfaults (observed at 64.7k maps, ~12 min in). Module-scoped
+    teardown keeps within-module cache reuse but bounds the process-wide
+    mapping count to one module's working set.
+    """
+    yield
+    jax.clear_caches()
