@@ -42,6 +42,11 @@ def make_fleet_localizer(cfg: SystemConfig, ms: MapState,
     - step_fn(pose_b (B,3), last_odom_b (B,3), feats_bk, odo_bk (B,k,3))
         → (poses (B,k,3), tracked (B,k) bool)
 
+    Frames: ``pose_b`` (and the returned poses) live in the MAP frame,
+    whose gauge is the mapping session's first frame (that KF's pose is
+    the origin — NOT the synthetic/world frame). ``last_odom_b`` and
+    ``odo_bk`` are raw odometry readings; only their increments matter.
+
     step_fn speculatively localizes k frames for every robot in one
     dispatch; a robot's carry freezes at its first lost frame (the host
     relocalizes it out-of-band and re-enters it next chunk). The map is
