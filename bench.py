@@ -35,9 +35,60 @@ import time
 import numpy as np
 
 
+def _dial_watchdog(seconds: int | None = None):
+    """Fail fast if the device backend never comes up.
+
+    The axon dial normally takes ~4 min; a dead host-side relay makes
+    jax.devices() block FOREVER inside a GIL-holding C call (observed:
+    relay ports closed, 25 min hang, SIGALRM handlers never run), which
+    burns the whole driver timeout and records nothing. A tiny separate
+    WATCHDOG PROCESS kills this one with a clear message unless the dial
+    writes the sentinel in time. Returns cancel()."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    if seconds is None:
+        seconds = int(os.environ.get("BENCH_DIAL_TIMEOUT_S", "600"))
+    sentinel = os.path.join(
+        tempfile.mkdtemp(prefix="bench_dial_"), "ok"
+    )
+    code = (
+        "import os,signal,sys,time\n"
+        f"ppid={os.getpid()};deadline=time.time()+{seconds}\n"
+        "while time.time()<deadline:\n"
+        "    time.sleep(1.0)\n"
+        f"    if os.path.exists({sentinel!r}): sys.exit(0)\n"
+        "    try: os.kill(ppid,0)\n"
+        "    except OSError: sys.exit(0)\n"
+        f"sys.stderr.write('bench.py: device backend did not come up "
+        f"within {seconds}s - the axon relay is likely down (ports "
+        "closed); rerun when the tunnel is restored\\n')\n"
+        "os.kill(ppid,signal.SIGKILL)\n"
+    )
+    # -S + a bare env so the child does NOT run sitecustomize (which
+    # would itself dial the dead relay and hang)
+    proc = subprocess.Popen(
+        [sys.executable, "-S", "-c", code],
+        env={"PATH": os.environ.get("PATH", "/usr/bin:/bin")},
+    )
+
+    def cancel():
+        with open(sentinel, "w"):
+            pass
+        proc.wait(timeout=10)
+
+    return cancel
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _cancel = _dial_watchdog()
+    jax.devices()  # force the dial under the watchdog
+    _cancel()
 
     from __graft_entry__ import _default_cfg
     from se2lam_tpu import localmap, tracking
