@@ -67,12 +67,18 @@ def _dial_watchdog(seconds: int | None = None):
         "closed); rerun when the tunnel is restored\\n')\n"
         "os.kill(ppid,signal.SIGKILL)\n"
     )
-    # -S + a bare env so the child does NOT run sitecustomize (which
-    # would itself dial the dead relay and hang)
-    proc = subprocess.Popen(
-        [sys.executable, "-S", "-c", code],
-        env={"PATH": os.environ.get("PATH", "/usr/bin:/bin")},
-    )
+    # -S skips site processing so the child does NOT run sitecustomize
+    # (which would itself dial the dead relay and hang); the env is
+    # inherited — a stripped env can break interpreters that need
+    # LD_LIBRARY_PATH/PYTHONHOME, silently losing the guard
+    proc = subprocess.Popen([sys.executable, "-S", "-c", code])
+    import time as _time
+
+    _time.sleep(0.3)
+    if proc.poll() is not None:
+        raise RuntimeError(
+            f"bench dial watchdog died at startup (rc={proc.returncode})"
+        )
 
     def cancel():
         with open(sentinel, "w"):
@@ -145,14 +151,9 @@ def main():
     keys = list(jax.random.split(jax.random.PRNGKey(7), n_iter))
 
     # tunnel round-trip floor (subtracted once per timed region)
-    tiny = jax.jit(lambda x: x * 2.0)
-    float(tiny(jnp.float32(1.0)))
-    rtts = []
-    for r in range(5):
-        t0 = time.perf_counter()
-        float(tiny(jnp.float32(r)))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
+    from se2lam_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
 
     @jax.jit
     def force(ts_f, res_f):

@@ -35,17 +35,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure_rtt(jnp, jax):
-    tiny = jax.jit(lambda x: x * 2.0)
-    float(tiny(jnp.float32(1.0)))
-    rtts = []
-    for r in range(5):
-        t0 = time.perf_counter()
-        float(tiny(jnp.float32(r)))
-        rtts.append(time.perf_counter() - t0)
-    return float(np.median(rtts))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16,
@@ -64,9 +53,8 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _default_cfg
-    from se2lam_tpu import localmap, system as system_mod
+    from se2lam_tpu import system as system_mod
     from se2lam_tpu.io import SyntheticWorld
-    from se2lam_tpu.mapstate import empty_map
     from se2lam_tpu.parallel import make_fleet_localizer, make_fleet_tracker
 
     cfg, oc = _default_cfg()
@@ -78,7 +66,9 @@ def main():
         cfg, min_frames_between_kf=2, max_frames_between_kf=6)
     world = SyntheticWorld(cfg, n_landmarks=800, room=12.0, seed=1)
     T = args.frames
-    rtt = measure_rtt(jnp, jax)
+    from se2lam_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
     results = {"rtt_ms": round(rtt * 1e3, 2)}
 
     # ---- fleet tracking: device ms per robot-frame vs B ----
@@ -144,7 +134,7 @@ def main():
         return
     # build a real map covering the FULL circle (a partial arc's points
     # triangulate at low parallax and localization honestly rejects them)
-    slam = system_mod.SlamSystem(cfg, oc)
+    slam = system_mod.SlamSystem(cfg)
     gt_map = world.circle_trajectory(120)
     for i in range(120):
         slam.process(world.render(gt_map[i]), np.asarray(gt_map[i]))
@@ -184,7 +174,6 @@ def main():
 
     for w in range(3):
         p, t = serve(img_bk + np.uint8(w), pose_b, odo_bk)
-    n_tracked = int(jnp.sum(t))
     times = []
     for r in range(args.reps):
         t0 = time.perf_counter()
@@ -192,6 +181,7 @@ def main():
         # one scalar fetch forces extraction + localization chain
         tot = float(jnp.sum(p * p) + jnp.sum(t))
         times.append(time.perf_counter() - t0 - rtt)
+    n_tracked = int(jnp.sum(t))   # from the last TIMED inputs
     dt = min(times)
     rfs = B * k / dt
     results["fleet_localization"] = {

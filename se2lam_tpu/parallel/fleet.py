@@ -23,7 +23,8 @@ from ..frontend.orb import OrbConfig, make_extractor
 __all__ = ["make_fleet_tracker", "shard_fleet"]
 
 
-def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None):
+def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None,
+                       mesh: Mesh | None = None, axis: str = "d"):
     """Returns (init_fn, step_fn, extract_fn):
 
     - init_fn(feats_b, pose_b, odom_b) → batched TrackState
@@ -32,6 +33,15 @@ def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None):
 
     All arguments carry a leading robot axis B; step_fn is jitted once
     for any B (retrace per batch size).
+
+    Pass ``mesh`` when the fleet is sharded robot-major over a device
+    mesh (``shard_fleet``): extraction then runs as a ``shard_map`` —
+    each device lax.maps only its local robot chunk, in parallel across
+    devices. Without it, lax.map over a sharded axis is a *scan* over
+    that axis: XLA gathers every robot's frame to all devices and runs
+    the extractor (the dominant per-frame cost) B times sequentially,
+    which both serializes the fleet and breaks the zero-cross-robot-
+    communication contract. B must then divide the mesh size.
     """
     if orb_cfg is None:
         orb_cfg = OrbConfig(
@@ -54,7 +64,7 @@ def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None):
             )
         )(feats_b, pose_b, odom_b)
 
-    def _extract_b(imgs_b):
+    def _extract_seq(imgs_b):
         # sequential lax.map over robots, NOT vmap: the extractor's
         # one-hot patch-gather intermediates are per-frame large and a
         # vmapped batch multiplies that peak by B (observed TPU worker
@@ -62,6 +72,19 @@ def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None):
         # below stays vmapped, its state is small
         return jax.lax.map(
             lambda im: extract(im.astype(jnp.float32)), imgs_b
+        )
+
+    if mesh is None:
+        _extract_b = _extract_seq
+    else:
+        # robot axis sharded over the mesh: sequential only WITHIN each
+        # device's chunk, devices in parallel (keeps the single-device
+        # VMEM bound above without serializing the whole fleet)
+        from jax import shard_map
+
+        _extract_b = shard_map(
+            _extract_seq, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis),
         )
 
     @jax.jit

@@ -35,7 +35,8 @@ __all__ = ["make_fleet_localizer"]
 
 
 def make_fleet_localizer(cfg: SystemConfig, ms: MapState,
-                         min_tracked_matches: int = 10):
+                         min_tracked_matches: int = 10,
+                         mesh=None, axis: str = "d"):
     """Returns (extract_fn, step_fn):
 
     - extract_fn(img_stack (B, k, H, W)) → OrbFeatures with (B, k) axes
@@ -62,8 +63,7 @@ def make_fleet_localizer(cfg: SystemConfig, ms: MapState,
     batch_extract = make_batch_extractor(orb_cfg, cam, undistort)
     gate = jnp.asarray(min_tracked_matches, jnp.int32)
 
-    @jax.jit
-    def extract_fn(img_stack):
+    def _extract_flat(img_stack):
         # (B, k, H, W) → flatten to one (B*k,) sequential lax.map so
         # peak extractor memory stays at ONE frame's intermediates
         # regardless of fleet size (vmapping batch_extract over robots
@@ -75,6 +75,21 @@ def make_fleet_localizer(cfg: SystemConfig, ms: MapState,
         return jax.tree.map(
             lambda x: x.reshape((B, k) + x.shape[1:]), feats
         )
+
+    if mesh is not None:
+        # robot axis sharded over a mesh: sequential extraction only
+        # WITHIN a device's robot chunk, devices in parallel (lax.map
+        # over a sharded axis would gather + serialize the whole fleet;
+        # see make_fleet_tracker). B must divide the mesh size.
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        _extract_flat = shard_map(
+            _extract_flat, mesh=mesh,
+            in_specs=P(axis), out_specs=P(axis),
+        )
+
+    extract_fn = jax.jit(_extract_flat)
 
     @jax.jit
     def step_fn(ms_in, pose_b, last_odom_b, feats_bk, odo_bk):

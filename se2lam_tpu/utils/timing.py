@@ -89,3 +89,23 @@ def device_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def measure_rtt(reps: int = 5) -> float:
+    """Median host→device round-trip floor, in seconds.
+
+    The benchmark discipline (docs/DESIGN.md §9): completion is forced
+    by FETCHING a scalar, which pays one tunnel round-trip (~30 ms on
+    the axon path) that must be subtracted once per timed region. One
+    warm dispatch first — the probe itself must not be timed cold."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x * 2.0)
+    float(tiny(jnp.float32(1.0)))
+    rtts = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(r)))
+        rtts.append(time.perf_counter() - t0)
+    return float(np.median(rtts))

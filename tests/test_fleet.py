@@ -96,3 +96,17 @@ def test_fleet_shards_over_mesh(rng):
     assert np.isfinite(pose).all()
     # each robot followed its own odometry
     np.testing.assert_allclose(pose, odos[:, T], atol=1e-4)
+
+    # mesh-aware tracker: extraction as shard_map (parallel across
+    # devices, sequential only within a device's chunk) must reproduce
+    # the plain tracker's poses exactly
+    init_m, step_m, extract_m = make_fleet_tracker(cfg, oc, mesh=mesh)
+    f0_m = extract_m(shard_fleet(jnp.asarray(imgs[:, 0]), mesh))
+    ts_m = shard_fleet(init_m(f0_m, jnp.asarray(odos[:, 0]),
+                              jnp.asarray(odos[:, 0])), mesh)
+    for t in range(1, T + 1):
+        ts_m, res_m = step_m(
+            ts_m, shard_fleet(jnp.asarray(imgs[:, t]), mesh),
+            jnp.asarray(odos[:, t]), keys,
+        )
+    np.testing.assert_allclose(np.asarray(res_m.pose), pose, atol=1e-5)

@@ -271,3 +271,16 @@ def test_fleet_localizer_matches_single(built_map):
         for j in range(upto):
             np.testing.assert_allclose(poses[b, j], out[j], atol=1e-3)
     assert tracked.sum() >= B * k - 2, "fleet mostly tracked"
+
+    # mesh-aware variant: robot axis sharded over B devices, extraction
+    # as shard_map (parallel across devices) — must match exactly
+    from se2lam_tpu.parallel import make_mesh, shard_fleet
+
+    mesh = make_mesh(B)
+    extract_m, step_m = make_fleet_localizer(cfg, ms, mesh=mesh)
+    feats_m = extract_m(shard_fleet(jnp.asarray(imgs), mesh))
+    poses_m, tracked_m = step_m(
+        jnp.asarray(pose0), jnp.asarray(last0), feats_m, jnp.asarray(odos)
+    )
+    np.testing.assert_array_equal(np.asarray(tracked_m), tracked)
+    np.testing.assert_allclose(np.asarray(poses_m), poses, atol=1e-5)

@@ -65,10 +65,13 @@ def test_sharded_loop_detect(rng):
     i, d = sharded_hamming_detect(db, desc[11][None])
     assert int(i) == 11 and float(d) == 0.0
     # a zeroed (padded/pruned) row scores a flat 128 against any query —
-    # on a miss it would win the argmin unless masked out
-    desc_pad = desc.at[5].set(0)
+    # on a miss it would win the argmin unless masked out. Make the miss
+    # total: EVERY valid row is the query's complement (distance 256),
+    # so the padded row's 128 wins the argmin iff the mask is dropped
+    desc_pad = jnp.broadcast_to(desc[11], desc.shape).at[5].set(0)
     valid = jnp.ones(K, bool).at[5].set(False)
     db_pad = shard_bank(desc_pad, mesh)
-    far = -desc[11][None]  # 256 from row 11, ~128 from the others
-    i3, _ = sharded_hamming_detect(db_pad, far, valid)
+    far = -desc[11][None]
+    i3, d3 = sharded_hamming_detect(db_pad, far, valid)
     assert int(i3) != 5
+    assert float(d3) == 256.0  # the honest miss distance, not the pad's 128
