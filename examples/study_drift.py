@@ -68,7 +68,40 @@ def build_cfg(n_feats=256, joint_iters=5):
     )
 
 
-def run_slam(cfg, world, gt, odo, enable_loops):
+def _rel_to_start(traj):
+    """Express an (N,3) SE2 trajectory relative to its own first pose —
+    removes the gauge difference between the map frame (anchored at the
+    first SLAM frame) and the world frame, WITHOUT the whole-path
+    alignment that hides tail drift."""
+    x0, y0, t0 = traj[0]
+    c, s = np.cos(-t0), np.sin(-t0)
+    dx, dy = traj[:, 0] - x0, traj[:, 1] - y0
+    out = np.stack([c * dx - s * dy, s * dx + c * dy,
+                    traj[:, 2] - t0], -1)
+    out[:, 2] = np.arctan2(np.sin(out[:, 2]), np.cos(out[:, 2]))
+    return out
+
+
+def lap_drift(est, gt, frames_per_lap):
+    """Position error at each lap boundary, both trajectories expressed
+    relative to their own start. Odometry grows ~sqrt(laps); a
+    loop-closing SLAM should stay bounded — THE long-horizon signature
+    whole-path aligned ATE averages away."""
+    n = min(len(est), len(gt))
+    er, gr = _rel_to_start(est[:n]), _rel_to_start(gt[:n])
+    errs = []
+    j = frames_per_lap - 1
+    while j < n:
+        errs.append(round(float(
+            np.linalg.norm(er[j, :2] - gr[j, :2])), 4))
+        j += frames_per_lap
+    if (n - 1) % frames_per_lap != frames_per_lap - 1:
+        errs.append(round(float(
+            np.linalg.norm(er[n - 1, :2] - gr[n - 1, :2])), 4))
+    return errs
+
+
+def run_slam(cfg, world, gt, odo, enable_loops, frames_per_lap):
     from se2lam_tpu.io import ate_se2
     from se2lam_tpu.system import SlamSystem
 
@@ -84,6 +117,7 @@ def run_slam(cfg, world, gt, odo, enable_loops):
     return {
         "ate_live": round(float(ate_live), 4),
         "ate_corrected": round(float(ate_corr), 4),
+        "lap_drift": lap_drift(corr, gt, frames_per_lap),
         "n_loops": int(n_loops),
         "n_kfs": int(slam.n_keyframes()),
         "n_mps": int(slam.n_map_points()),
@@ -118,7 +152,9 @@ def main():
     trajs = {"gt": gt[:, :2]}
 
     ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
-    results["odo"] = {"ate_live": round(float(ate_odo), 4)}
+    results["odo"] = {"ate_live": round(float(ate_odo), 4),
+                      "lap_drift": lap_drift(odo, gt,
+                                             args.frames_per_lap)}
     trajs["odo"] = odo[:, :2]
     print(f"odo            ATE {ate_odo:.4f}")
 
@@ -128,13 +164,15 @@ def main():
         "slam_joint": (True, cfg.gm_joint_ba_iters),
     }.items():
         r, corr = run_slam(
-            build_cfg(joint_iters=joint), world, gt, odo, loops
+            build_cfg(joint_iters=joint), world, gt, odo, loops,
+            args.frames_per_lap,
         )
         results[name] = r
         trajs[name] = corr[:, :2]
         print(f"{name:<14} ATE live {r['ate_live']:.4f} "
               f"corrected {r['ate_corrected']:.4f} "
-              f"loops {r['n_loops']} kfs {r['n_kfs']}")
+              f"loops {r['n_loops']} kfs {r['n_kfs']} "
+              f"lap drift {r['lap_drift']}")
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
