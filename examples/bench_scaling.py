@@ -92,14 +92,28 @@ def make_pose_graph(rng, K, n_loops=16):
 
 
 def bench(fn, reps=5):
-    """Median wall time of ``fn(r)`` with per-rep distinct inputs."""
-    import jax
+    """Median wall time of ``fn(r)`` with per-rep distinct inputs.
 
-    jax.block_until_ready(fn(0))        # compile + warm
+    Completion is forced by FETCHING a scalar reduced from every output
+    leaf — block_until_ready does not reliably block through the axon
+    tunnel (CLAUDE.md / DESIGN §9), and fetching also defeats partial
+    DCE. On the CPU mesh the fetch is free; on real hardware it costs
+    one RTT, identical across the device counts being compared."""
+    import jax
+    import jax.numpy as jnp
+
+    def force(out):
+        return float(sum(
+            jnp.sum(jnp.asarray(x, jnp.float32))
+            for x in jax.tree.leaves(out)
+        ))
+
+    for w in range(3):                  # compile + axon 2-exec warmup
+        force(fn(-1 - w))
     times = []
     for r in range(1, reps + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(r))
+        force(fn(r))
         times.append(time.perf_counter() - t0)
     return float(np.median(times))
 

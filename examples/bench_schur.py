@@ -56,15 +56,10 @@ def main():
 
         return run
 
-    # tunnel round-trip floor: time trivial value fetches
-    tiny = jax.jit(lambda x: x * 2.0)
-    float(tiny(jnp.float32(1.0)))
-    rtts = []
-    for r in range(5):
-        t0 = time.perf_counter()
-        float(tiny(jnp.float32(r)))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
+    # tunnel round-trip floor: the shared probe (one discipline)
+    from se2lam_tpu.utils.timing import measure_rtt
+
+    rtt = measure_rtt()
 
     rng = np.random.default_rng(0)
     print(f"# backend: {jax.default_backend()}, reps/scan: {R}, "

@@ -40,6 +40,7 @@ from .mapstate import MapState, kf_Tcw
 from .ops import se2, se3
 from .ops.camera import CameraModel, undistort_points
 from .solver.poseonly import solve_pose_only
+from .utils.chunking import pad_chunk
 from .vocab import Vocabulary
 
 __all__ = ["Localizer"]
@@ -303,12 +304,7 @@ class Localizer:
             return out
 
         cfg = self.cfg
-        kk = k - idx
-        # pad short chunks to one compiled size (see SlamSystem.process_chunk)
-        self._chunk_klen = max(getattr(self, "_chunk_klen", 0), kk)
-        pad = self._chunk_klen - kk
-        imgs_fed = list(imgs[idx:]) + [imgs[-1]] * pad
-        odos_fed = list(odos[idx:]) + [odos[-1]] * pad
+        kk, pad, imgs_fed, odos_fed = pad_chunk(self, imgs, odos, idx)
         if self._extract_batch_fn is None:
             self._extract_batch_fn = make_batch_extractor(
                 self.orb_cfg, self._cam, self._undistort

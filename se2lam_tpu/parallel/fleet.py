@@ -41,7 +41,7 @@ def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None,
     that axis: XLA gathers every robot's frame to all devices and runs
     the extractor (the dominant per-frame cost) B times sequentially,
     which both serializes the fleet and breaks the zero-cross-robot-
-    communication contract. B must then divide the mesh size.
+    communication contract. The mesh axis size must then divide B.
     """
     if orb_cfg is None:
         orb_cfg = OrbConfig(
@@ -101,6 +101,6 @@ def make_fleet_tracker(cfg: SystemConfig, orb_cfg: OrbConfig | None = None,
 
 def shard_fleet(tree, mesh: Mesh, axis: str = "d"):
     """Place a batched pytree with the robot axis sharded over the mesh
-    (batch size must divide the mesh size axis)."""
+    (the mesh axis size must divide the batch size)."""
     sh = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

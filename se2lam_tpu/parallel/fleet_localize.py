@@ -80,7 +80,7 @@ def make_fleet_localizer(cfg: SystemConfig, ms: MapState,
         # robot axis sharded over a mesh: sequential extraction only
         # WITHIN a device's robot chunk, devices in parallel (lax.map
         # over a sharded axis would gather + serialize the whole fleet;
-        # see make_fleet_tracker). B must divide the mesh size.
+        # see make_fleet_tracker). The mesh axis size must divide B.
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 

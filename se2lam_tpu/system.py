@@ -26,6 +26,7 @@ from .frontend.orb import (
 from .mapstate import MapState, empty_map
 from .ops import se2
 from .ops.camera import CameraModel, undistort_points
+from .utils.chunking import pad_chunk
 
 __all__ = ["SlamSystem"]
 
@@ -389,17 +390,9 @@ class SlamSystem:
             return np.asarray(poses_out, np.float32).reshape(-1, 3)
 
         cfg = self.cfg
-        kk = k - idx
-        # pad short chunks (bootstrap-shortened first chunk, feed tail)
-        # up to the largest size seen: every distinct array length is a
-        # separate multi-minute XLA compile on the real chip, and the
-        # scan's [start, stop) masking makes padded steps free. Padded
-        # key rows are dummies — only kk keys are CONSUMED from the
-        # chain, preserving parity with kk per-frame split() calls.
-        self._chunk_klen = max(getattr(self, "_chunk_klen", 0), kk)
-        pad = self._chunk_klen - kk
-        imgs_fed = list(imgs[idx:]) + [imgs[-1]] * pad
-        odos_fed = list(odos[idx:]) + [odos[-1]] * pad
+        # padded key rows are dummies — only kk keys are CONSUMED from
+        # the chain, preserving parity with kk per-frame split() calls
+        kk, pad, imgs_fed, odos_fed = pad_chunk(self, imgs, odos, idx)
         feats_stack = self.extract_batch(imgs_fed)
         odo_stack = jnp.asarray(np.asarray(odos_fed), jnp.float32)
         self.key, keys = tracking.split_chain(self.key, kk)
