@@ -89,12 +89,28 @@ def _dial_watchdog(seconds: int | None = None):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     _cancel = _dial_watchdog()
     jax.devices()  # force the dial under the watchdog
     _cancel()
+
+    if jax.default_backend() != "cpu" and not os.environ.get(
+        "BENCH_NO_COMPILE_CACHE"
+    ):
+        # persistent compilation cache: compiles through the axon tunnel
+        # take minutes; a repo-local cache makes repeat bench runs (the
+        # common case: a manual run followed by the driver's) start in
+        # seconds. CPU is excluded — the XLA:CPU AOT loader logs feature
+        # mismatch warnings when reloading across machine types.
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
 
     from __graft_entry__ import _default_cfg
     from se2lam_tpu import localmap, tracking
