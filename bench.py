@@ -106,10 +106,11 @@ def main():
         # common case: a manual run followed by the driver's) start in
         # seconds. CPU is excluded — the XLA:CPU AOT loader logs feature
         # mismatch warnings when reloading across machine types.
-        jax.config.update(
-            "jax_compilation_cache_dir",
+        from se2lam_tpu import enable_compilation_cache
+
+        enable_compilation_cache(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache"),
+                         ".jax_cache")
         )
 
     from __graft_entry__ import _default_cfg

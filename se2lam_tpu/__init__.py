@@ -10,6 +10,21 @@ fixed-capacity device arrays instead of threads over a pointer graph.
 __version__ = "0.1.0"
 
 
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Persist compiled executables across processes.
+
+    Production startup on a remote-attached chip pays minutes of XLA
+    compiles for the pipeline's ~10 programs (tracking step, chunked
+    step, keyframe insertion, local BA, prune, loop stack, global BA);
+    with a persistent cache the second process start skips straight to
+    execution. Avoid on CPU: XLA:CPU's AOT loader logs machine-feature
+    mismatch warnings when reloading cached code across machine types.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+
 def __getattr__(name):
     # lazy top-level exports: importing the package stays cheap (no jax
     # backend touch) until a symbol is actually used
