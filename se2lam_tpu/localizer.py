@@ -174,8 +174,9 @@ def _localize_chunk(
     return poses, tracked
 
 
-@jax.jit
-def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key):
+@partial(jax.jit, static_argnames=("n_trials",))
+def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key,
+                       n_trials: int = 128):
     """Descriptor match + RANSAC inlier count vs a candidate keyframe
     (Localizer::VerifyLoopClose, src/Localizer.cpp:394-431).
 
@@ -188,7 +189,7 @@ def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key):
     matched = midx >= 0
     fr = ransac_fundamental(
         key, f_kf.xy, feats.xy[jnp.clip(midx, 0)], matched,
-        n_trials=128, thresh_px=3.0, min_inliers=10,
+        n_trials=n_trials, thresh_px=3.0, min_inliers=10,
     )
     # zero-baseline degeneracy: querying from (nearly) the mapped
     # viewpoint gives identical correspondences, which determine NO
@@ -426,7 +427,10 @@ class Localizer:
 
     def _relocalize_at(self, cand: int, feats: OrbFeatures):
         self.key, sub = jax.random.split(self.key)
-        n_in, mp_idx, uv, pair = _relocalize_verify(self.ms, cand, feats, sub)
+        n_in, mp_idx, uv, pair = _relocalize_verify(
+            self.ms, cand, feats, sub,
+            n_trials=self.cfg.cap.ransac_trials,
+        )
         if int(n_in) < self.reloc_min_inliers:
             return None
         cam = self._cam

@@ -161,6 +161,10 @@ class SlamSystem:
             )
         slam = cls(cfg, enable_loops=enable_loops)
         slam.ms = ms
+        # kf_frame_ids must stay slot-indexed (index == slot); loaded
+        # keyframes have no session frame id — prefill with -1 so the
+        # relocalization seed and later insertions land at their slots
+        slam.kf_frame_ids = [-1] * int(info["n_kf"])
         if slam._loop_closer is not None:
             # install the saved vocabulary + rebuild the BoW bank for the
             # loaded keyframes
@@ -480,7 +484,10 @@ class SlamSystem:
         # insertions — freeing a single slot would re-run the whole
         # pipeline on every keyframe once the bank first saturates
         target = cfg.cap.max_kfs - max(1, cfg.cap.max_kfs // 8)
-        n_valid = cfg.cap.max_kfs
+        # live count, not the slot watermark: regular per-insert pruning
+        # may have left holes, in which case compaction alone frees the
+        # tail and the forced prune rounds below are skipped entirely
+        n_valid = int(jnp.sum(self.ms.kf_valid))
         # escalation: relaxed redundancy bars, then marginalize-oldest
         # (min_ratio 0 admits any interior chain KF — its odometry edges
         # splice into one composed preintegration, so the constraint
@@ -522,14 +529,16 @@ class SlamSystem:
             self.ts = self.ts._replace(
                 ref_kf_idx=jnp.asarray(new_ref, jnp.int32)
             )
-        # kf_frame_ids is slot-indexed: rebuild in new slot order
-        new_ids = [0] * int(self.ms.n_kf)
+        # kf_frame_ids is slot-indexed (resume() prefills loaded slots
+        # with -1 to keep index == slot): rebuild in new slot order
+        new_ids = [-1] * int(self.ms.n_kf)
         for old_slot, fid in enumerate(self.kf_frame_ids):
             if old_slot < len(kf_perm) and kf_perm[old_slot] >= 0:
                 ns = int(kf_perm[old_slot])
                 if ns < len(new_ids):
                     new_ids[ns] = fid
         self.kf_frame_ids = new_ids
+        alive_old = np.where(kf_perm >= 0)[0]
         anchors = []
         for fid, ref, rel in self._frame_anchors:
             if ref == -1:
@@ -537,12 +546,29 @@ class SlamSystem:
             elif ref < len(kf_perm) and kf_perm[ref] >= 0:
                 anchors.append((fid, int(kf_perm[ref]), rel))
             else:
-                # anchor keyframe compacted away: bake the absolute pose
-                # from its final estimate
-                anchors.append(
-                    (fid, -1, _np_se2_compose(old_kf_pose[ref], rel))
-                )
+                # anchor keyframe compacted away: re-anchor rigidly onto
+                # the nearest surviving keyframe (insertion order), both
+                # expressed at their pre-compaction estimates. Baking an
+                # absolute pose instead would freeze the frame in the
+                # pre-compaction gauge — every later BA/loop-closure
+                # correction would miss it, leaving a discontinuity the
+                # size of the correction in corrected_trajectory()
+                s_old = int(alive_old[np.argmin(np.abs(alive_old - ref))])
+                abs_pose = _np_se2_compose(old_kf_pose[ref], rel)
+                anchors.append((
+                    fid, int(kf_perm[s_old]),
+                    _np_se2_minus(abs_pose, old_kf_pose[s_old]),
+                ))
         self._frame_anchors = anchors
+        # per-BA chi2 log entries carry KF slot ids too (the one other
+        # host-side slot reference): alive slots remap, dead slots → -1
+        for recd in self.ba_log:
+            old = recd.get("kf", -1)
+            recd["kf"] = (
+                int(kf_perm[old])
+                if 0 <= old < len(kf_perm) and kf_perm[old] >= 0
+                else -1
+            )
         lc = self._loop_closer
         if lc is not None and lc.vocab is not None:
             # bank rows move with their keyframes; same vocabulary, so
@@ -799,7 +825,10 @@ class SlamSystem:
                 # checkpoint: a later loop closure must score against the
                 # same vocabulary the saved map will relocalize with
                 self._loop_closer.adopt_vocab(vocab, self.ms)
-        _save(path, self.ms, vocab)
+        # with_vocab gates SAVING, not just training: a loops-enabled run
+        # already holds a vocabulary, and writing it anyway would violate
+        # the parameter's contract (vocab-free checkpoints are smaller)
+        _save(path, self.ms, vocab if with_vocab else None)
         self.save_kf_trajectory(
             os.path.join(path, "se2lam_kf_trajectory.txt")
         )

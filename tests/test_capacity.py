@@ -136,3 +136,105 @@ def test_capacity_pressure_chunked_feed():
     # retro-corrected trajectory survives the anchor remapping
     corr = slam.corrected_trajectory()
     assert np.isfinite(np.asarray(corr)).all()
+
+
+def test_compacted_anchors_follow_corrections():
+    """Frames whose anchor keyframe was compacted away must be
+    RE-ANCHORED onto a surviving keyframe, not baked to an absolute
+    pose: a later global correction (loop closure / GBA moving every
+    keyframe) must move every retro-corrected frame coherently. Baked
+    frames would stay at the pre-correction gauge, leaving a
+    correction-sized discontinuity."""
+    import jax.numpy as jnp
+
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    oc = OrbConfig(height=120, width=160, n_features=128,
+                   scale_factor=1.2, n_levels=2)
+    cfg = SystemConfig(
+        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=128, max_level=2,
+        min_frames_between_kf=1, max_frames_between_kf=2,
+        local_iter=4,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=8, max_mps=512,
+            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
+    slam = SlamSystem(cfg, enable_loops=False)
+    for img, odo in world.sequence(44, noise=(0.002, 0.001, 0.001)):
+        slam.process(img, odo)
+    assert slam.capacity_compactions >= 1
+    # every anchor survives on a live keyframe (none baked)
+    refs = [ref for _, ref, _ in slam._frame_anchors]
+    assert all(r >= 0 for r in refs), f"baked anchors remain: {refs}"
+
+    before = slam.corrected_trajectory()
+    # simulate a global correction: rigid world-frame shift of every KF
+    d = np.float32([0.7, -0.4, 0.3])
+    c, s = np.cos(d[2]), np.sin(d[2])
+    kp = np.asarray(slam.ms.kf_pose)
+    shifted = np.stack([
+        d[0] + c * kp[:, 0] - s * kp[:, 1],
+        d[1] + s * kp[:, 0] + c * kp[:, 1],
+        kp[:, 2] + d[2],
+    ], -1)
+    slam.ms = slam.ms._replace(kf_pose=jnp.asarray(shifted))
+    after = slam.corrected_trajectory()
+    # every anchored frame moves by exactly the same rigid transform
+    exp_xy = np.stack([
+        d[0] + c * before[:, 1] - s * before[:, 2],
+        d[1] + s * before[:, 1] + c * before[:, 2],
+    ], -1)
+    anchored = np.asarray([row[0] in {f for f, _, _ in slam._frame_anchors}
+                           for row in before])
+    err = np.linalg.norm(after[:, 1:3] - exp_xy, axis=-1)
+    assert err[anchored].max() < 1e-4, (
+        f"frames missed the global correction: max err {err[anchored].max()}"
+    )
+
+
+def test_capacity_pressure_with_loops_enabled():
+    """Capacity relief with the loop closer ATTACHED: compaction must
+    rebuild the BoW bank and remap the closer's state without error
+    (the loops-and-compaction interplay; loop closures themselves are
+    covered in test_system/test_loop_reference_gates)."""
+    from se2lam_tpu.frontend.orb import OrbConfig
+
+    oc = OrbConfig(height=120, width=160, n_features=128,
+                   scale_factor=1.2, n_levels=2)
+    cfg = SystemConfig(
+        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
+        Tbc=tuple(np.linalg.inv(TCB).ravel()),
+        upper_depth=30.0, lower_depth=0.2,
+        max_feature_num=128, max_level=2,
+        min_frames_between_kf=1, max_frames_between_kf=2,
+        local_iter=4,
+        # loop gates scaled to the 128-feature scene
+        gm_dcl_min_kfid_offset=4,
+        gm_vcl_num_min_match_mp=6,
+        gm_vcl_num_min_match_kp=12,
+        cap=Capacity(
+            n_features=oc.n_slots, max_kfs=8, max_mps=512,
+            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
+        ),
+    )
+    world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
+    slam = SlamSystem(cfg, enable_loops=True)
+    for img, odo in world.sequence(44, noise=(0.002, 0.001, 0.001)):
+        slam.process(img, odo)
+    assert slam.capacity_compactions >= 1
+    check_consistency(slam.ms)
+    lc = slam._loop_closer
+    if lc.vocab is not None:
+        # bank rows must track the compacted keyframes: valid rows
+        # nonzero, invalid rows zero
+        bank = np.asarray(lc.bank)
+        valid = np.asarray(slam.ms.kf_valid)
+        assert np.any(bank[valid] != 0.0, axis=1).all()
+        assert not np.any(bank[~valid] != 0.0)
+    corr = slam.corrected_trajectory()
+    assert np.isfinite(corr).all()

@@ -69,6 +69,43 @@ def test_resume_continues_mapping(saved_session):
     assert np.isfinite(np.asarray(slam2.ms.kf_pose)).all()
 
 
+def test_resume_frame_ids_slot_indexed(saved_session):
+    """kf_frame_ids must stay slot-indexed after resume: loaded slots
+    hold -1 (no session frame id), the relocalization seed and later
+    insertions land at THEIR slot index — not at index 0. Compaction's
+    slot remap (_remap_slots) iterates kf_frame_ids by index == slot, so
+    a misaligned list silently attributes frame ids to wrong keyframes."""
+    cfg, world, path, n_kf_before = saved_session
+    slam2 = SlamSystem.resume(cfg, path, enable_loops=False)
+    assert slam2.kf_frame_ids == [-1] * n_kf_before
+
+    gt = world.circle_trajectory(60)
+    odo = world.odometry(gt, noise=(0.002, 0.001, 0.001), seed=9)
+    for i in range(20, 32):
+        slam2.process(world.render(gt[i]), odo[i])
+    assert slam2.n_keyframes() > n_kf_before
+    ids = slam2.kf_frame_ids
+    assert len(ids) == slam2.n_keyframes()
+    # loaded prefix untouched, session keyframes at their own slots
+    assert all(f == -1 for f in ids[:n_kf_before])
+    assert all(f >= 0 for f in ids[n_kf_before:])
+    assert ids[n_kf_before:] == sorted(ids[n_kf_before:])
+
+
+def test_save_map_with_vocab_false(saved_session, tmp_path):
+    """with_vocab=False must gate SAVING the vocabulary, not just
+    training one — a loops-enabled session already holds a vocab."""
+    cfg, world, path, _ = saved_session
+    from se2lam_tpu.io import load_map
+
+    slam2 = SlamSystem.resume(cfg, path, enable_loops=True)
+    assert slam2._loop_closer.vocab is not None
+    out = str(tmp_path / "novocab_save")
+    slam2.save_map(out, with_vocab=False)
+    _, vocab, _ = load_map(out)
+    assert vocab is None
+
+
 def test_resume_requires_vocab(saved_session, tmp_path):
     cfg, world, path, _ = saved_session
     from se2lam_tpu.io import load_map
