@@ -107,6 +107,9 @@ class SlamSystem:
         # even forced pruning could not free a slot (mapping then pauses
         # and the system coasts on odometry until pressure clears)
         self.capacity_compactions = 0
+        # anchors whose reference KF was compacted away and were rigidly
+        # re-anchored onto a survivor (regression hook for tests)
+        self.anchors_reanchored = 0
         self.at_capacity = False
         # in-run observability (off by default — see enable_viz)
         self._viz_dir: str | None = None
@@ -541,9 +544,7 @@ class SlamSystem:
         alive_old = np.where(kf_perm >= 0)[0]
         anchors = []
         for fid, ref, rel in self._frame_anchors:
-            if ref == -1:
-                anchors.append((fid, -1, rel))       # already absolute
-            elif ref < len(kf_perm) and kf_perm[ref] >= 0:
+            if ref < len(kf_perm) and kf_perm[ref] >= 0:
                 anchors.append((fid, int(kf_perm[ref]), rel))
             else:
                 # anchor keyframe compacted away: re-anchor rigidly onto
@@ -559,6 +560,7 @@ class SlamSystem:
                     fid, int(kf_perm[s_old]),
                     _np_se2_minus(abs_pose, old_kf_pose[s_old]),
                 ))
+                self.anchors_reanchored += 1
         self._frame_anchors = anchors
         # per-BA chi2 log entries carry KF slot ids too (the one other
         # host-side slot reference): alive slots remap, dead slots → -1
@@ -759,12 +761,7 @@ class SlamSystem:
         for fid, live in self.trajectory:
             if fid in anchors:
                 ref, rel = anchors[fid]
-                if ref == -1:
-                    # anchor keyframe was compacted away: rel IS the
-                    # baked absolute pose (see _remap_slots)
-                    p = (rel[0], rel[1], rel[2])
-                else:
-                    p = _np_se2_compose(kf_pose[ref], rel)
+                p = _np_se2_compose(kf_pose[ref], rel)
             else:
                 p = live                  # first frame(s): origin gauge
             out.append([fid, p[0], p[1], p[2]])

@@ -168,6 +168,12 @@ def test_compacted_anchors_follow_corrections():
     for img, odo in world.sequence(44, noise=(0.002, 0.001, 0.001)):
         slam.process(img, odo)
     assert slam.capacity_compactions >= 1
+    # the dead-reference path must actually have fired — otherwise the
+    # rigid-shift check below passes without exercising re-anchoring
+    assert slam.anchors_reanchored >= 1, (
+        "no anchor referenced a compacted-away keyframe; the re-anchor "
+        "branch was never exercised"
+    )
     # every anchor survives on a live keyframe (none baked)
     refs = [ref for _, ref, _ in slam._frame_anchors]
     assert all(r >= 0 for r in refs), f"baked anchors remain: {refs}"
