@@ -228,20 +228,17 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             JpW = jnp.einsum("oab,oac->obc", Jp, W)
             JxW = jnp.einsum("oab,oac->obc", Jx, W)
 
-            # local accumulation (device-owned point block)
-            Hxx = jnp.zeros((Mb, 3, 3), dtype).at[mp].add(JxW @ Jx)
-            bx = jnp.zeros((Mb, 3), dtype).at[mp].add(
-                -jnp.einsum("oab,ob->oa", JxW, r_o)
-            )
-            # (K, 3, Mb, 3) layout — see solver.ba.schur_reduce
-            Hpx = jnp.zeros((K, 3, Mb, 3), dtype).at[
-                dp.obs_kf, :, mp, :
-            ].add(JpW @ Jx)
-            Hpp_p = jnp.zeros((K, K, 3, 3), dtype).at[
-                dp.obs_kf, dp.obs_kf
-            ].add(JpW @ Jp)
-            bp_p = jnp.zeros((K, 3), dtype).at[dp.obs_kf].add(
-                -jnp.einsum("oab,ob->oa", JpW, r_o)
+            # local accumulation (device-owned point block) — shared
+            # lowering router with the single-device assembly: one-hot
+            # MXU matmuls on TPU, scatter-adds elsewhere (DESIGN §9;
+            # Hpx comes back in the (K, 3, Mb, 3) layout schur_reduce
+            # and the Pallas kernel expect)
+            Hpp_p, bp_p, Hxx, bx, Hpx = ba_mod.accumulate_obs(
+                K, Mb, dp.obs_kf, mp,
+                JpW @ Jp, JxW @ Jx, JpW @ Jx,
+                -jnp.einsum("oab,ob->oa", JpW, r_o),
+                -jnp.einsum("oab,ob->oa", JxW, r_o),
+                cfg.accum,
             )
 
             # local point elimination

@@ -167,6 +167,56 @@ def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
     )
 
 
+def accumulate_obs(K, M, obs_kf, obs_mp, Hpp_o, Hxx_o, Hpx_o, bp_o, bx_o,
+                   accum: str = "auto"):
+    """Segment-sum the per-observation weighted blocks into the dense
+    structures: (Hpp (K,K,3,3) — obs terms touch only its diagonal
+    blocks, bp (K,3), Hxx (M,3,3), bx (M,3), Hpx (K,3,M,3)).
+
+    Two lowerings, routed at trace time (``accum``: "auto" | "onehot" |
+    "scatter"): TPU uses one-hot MXU matmuls — scatter-add lowers to a
+    serialized sorted-segment op there (measured 1.87 ms of scatters vs
+    0.3 ms of matmuls at K=48/M=2048/O=8192, DESIGN §9); CPU keeps the
+    scatters (the matmuls do O·(9K+9M) redundant FLOPs there). Invalid
+    observations must carry zero W blocks — their (clipped, in-range)
+    indices then contribute exact zeros on either path. Shared by the
+    single-device assembly and the per-device accumulation of the
+    distributed solver (parallel/dist_ba.py)."""
+    dtype = Hpp_o.dtype
+    # HIGHEST keeps the f32 operands out of the MXU's default bf16
+    # truncation — with DEFAULT precision the one-hot accumulation
+    # diverged from the scatter sums by ~2e-3 relative (measured)
+    hi = jax.lax.Precision.HIGHEST
+    diag_idx = jnp.arange(K)
+    if accum == "onehot" or (
+        accum == "auto" and jax.default_backend() == "tpu"
+    ):
+        A = (jnp.arange(K)[:, None] == obs_kf[None, :]).astype(dtype)
+        Bm = (obs_mp[:, None] == jnp.arange(M)[None, :]).astype(dtype)
+        Hxx = jnp.einsum("om,oab->mab", Bm, Hxx_o, precision=hi)
+        bx = jnp.einsum("om,oa->ma", Bm, bx_o, precision=hi)
+        Hpp_diag = jnp.einsum("ko,oab->kab", A, Hpp_o, precision=hi)
+        Hpp = jnp.zeros((K, K, 3, 3), dtype)
+        Hpp = Hpp.at[diag_idx, diag_idx].add(Hpp_diag)
+        bp = jnp.einsum("ko,oa->ka", A, bp_o, precision=hi)
+        # pose-point coupling in (K, 3, M, 3) layout — [k,a],[m,b] — so
+        # the Pallas Schur kernel's (3K, 3M) view is a FREE reshape (the
+        # (K,M,3,3) layout needs a strided transpose that costs more
+        # than the whole reduction; measured 7 ms vs 0.16 ms at bank
+        # scale)
+        Hpx = jnp.einsum("ko,oab,om->kamb", A, Hpx_o, Bm, precision=hi)
+    else:
+        Hxx = jnp.zeros((M, 3, 3), dtype).at[obs_mp].add(Hxx_o)
+        bx = jnp.zeros((M, 3), dtype).at[obs_mp].add(bx_o)
+        Hpp = jnp.zeros((K, K, 3, 3), dtype)
+        Hpp = Hpp.at[obs_kf, obs_kf].add(Hpp_o)
+        bp = jnp.zeros((K, 3), dtype).at[obs_kf].add(bp_o)
+        Hpx = jnp.zeros((K, 3, M, 3), dtype).at[
+            obs_kf, :, obs_mp, :
+        ].add(Hpx_o)
+    return Hpp, bp, Hxx, bx, Hpx
+
+
 def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
     """Build the dense reduced system pieces.
 
@@ -224,35 +274,13 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
         Hpx = jnp.einsum(
             "mpk,mpab->kamb", A2, Hpx_o.reshape(M, P, 3, 3), precision=hi
         )
-    elif cfg.accum == "onehot" or (
-        cfg.accum == "auto" and jax.default_backend() == "tpu"
-    ):
-        # invalid observations carry W=0 blocks, so their (clipped,
-        # in-range) indices contribute exact zeros — same guarantee the
-        # scatter path relies on
-        A = (jnp.arange(K)[:, None] == prob.obs_kf[None, :]).astype(dtype)
-        Bm = (prob.obs_mp[:, None] == jnp.arange(M)[None, :]).astype(dtype)
-        Hxx = jnp.einsum("om,oab->mab", Bm, Hxx_o, precision=hi)
-        bx = jnp.einsum("om,oa->ma", Bm, bx_o, precision=hi)
-        Hpp_diag = jnp.einsum("ko,oab->kab", A, Hpp_o, precision=hi)
-        Hpp = jnp.zeros((K, K, 3, 3), dtype)
-        Hpp = Hpp.at[diag_idx, diag_idx].add(Hpp_diag)
-        bp = jnp.einsum("ko,oa->ka", A, bp_o, precision=hi)
-        # pose-point coupling in (K, 3, M, 3) layout — [k,a],[m,b] — so
-        # the Pallas Schur kernel's (3K, 3M) view is a FREE reshape (the
-        # (K,M,3,3) layout needs a strided transpose that costs more
-        # than the whole reduction; measured 7 ms vs 0.16 ms at bank
-        # scale)
-        Hpx = jnp.einsum("ko,oab,om->kamb", A, Hpx_o, Bm, precision=hi)
     else:
-        Hxx = jnp.zeros((M, 3, 3), dtype).at[prob.obs_mp].add(Hxx_o)
-        bx = jnp.zeros((M, 3), dtype).at[prob.obs_mp].add(bx_o)
-        Hpp = jnp.zeros((K, K, 3, 3), dtype)
-        Hpp = Hpp.at[prob.obs_kf, prob.obs_kf].add(Hpp_o)
-        bp = jnp.zeros((K, 3), dtype).at[prob.obs_kf].add(bp_o)
-        Hpx = jnp.zeros((K, 3, M, 3), dtype).at[
-            prob.obs_kf, :, prob.obs_mp, :
-        ].add(Hpx_o)
+        # invalid observations carry W=0 blocks, so their (clipped,
+        # in-range) indices contribute exact zeros on either lowering
+        Hpp, bp, Hxx, bx, Hpx = accumulate_obs(
+            K, M, prob.obs_kf, prob.obs_mp,
+            Hpp_o, Hxx_o, Hpx_o, bp_o, bx_o, cfg.accum,
+        )
 
     # --- odometry edges ---
     JiW = jnp.einsum("eab,eac->ebc", Ji, We)        # (E, 3, 3) Jiᵀ W

@@ -37,12 +37,16 @@ def _perturbed_problem(K=8, M=48):
     ), cam, Tcb
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
-def test_sharded_ba_matches_single_device(rng, n_dev):
+@pytest.mark.parametrize(
+    "n_dev,accum", [(2, "auto"), (8, "auto"), (8, "onehot")]
+)
+def test_sharded_ba_matches_single_device(rng, n_dev, accum):
+    # accum="onehot" forces, on the CPU mesh, the exact per-device
+    # accumulation lowering the distributed solver uses on real TPUs
     prob, cam, Tcb = _perturbed_problem()
-    cfg = BAConfig(iters=6)
+    cfg = BAConfig(iters=6, accum=accum)
 
-    p1, x1, info1 = solve_local_ba(prob, cam, Tcb, cfg)
+    p1, x1, info1 = solve_local_ba(prob, cam, Tcb, BAConfig(iters=6))
 
     mesh = make_mesh(n_dev)
     p2, x2, info2 = sharded_solve_local_ba(prob, cam, Tcb, cfg, mesh)
