@@ -38,7 +38,23 @@ def read_cv_yaml(path: str) -> dict:
     for ln in text.splitlines():
         if ln.startswith("%YAML") or ln.strip() == "---":
             continue
-        ln = re.sub(r"(^|\s)#.*$", "", ln)
+        # strip trailing comments, but never inside a quoted scalar
+        # (`path: "/data/run #3"` must survive intact)
+        if '"' in ln or "'" in ln:
+            out_chars, quote = [], None
+            for ch in ln:
+                if quote is None and ch in "\"'":
+                    quote = ch
+                elif quote == ch:
+                    quote = None
+                elif quote is None and ch == "#" and (
+                    not out_chars or out_chars[-1].isspace()
+                ):
+                    break
+                out_chars.append(ch)
+            ln = "".join(out_chars)
+        else:
+            ln = re.sub(r"(^|\s)#.*$", "", ln)
         if ln.strip():
             lines.append(ln)
 
@@ -88,7 +104,7 @@ def read_cv_yaml(path: str) -> dict:
             try:
                 out[key] = float(rest)
             except ValueError:
-                out[key] = rest.strip('"')
+                out[key] = rest.strip("\"'")
         i += 1
     return out
 

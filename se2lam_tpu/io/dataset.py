@@ -140,12 +140,17 @@ def write_dataset_room(
 
 
 class DatasetRoom:
-    """Iterator over (gray_image float32 (H,W), odo (3,) float32) pairs.
+    """Iterator over (gray_image uint8 (H,W), odo (3,) float32) pairs.
 
     By default frames are decoded by the native C++ worker pool
     (``io.native_loader``) — decode and file IO run off the Python thread
     while the device pipeline consumes — falling back to PIL when no
-    toolchain is available.
+    toolchain is available. Frames stay **uint8**: they ship to the
+    device at 1 byte/px (the e2e bottleneck on remote-attached chips is
+    the host→device transfer, DESIGN §12) and the extractor casts to f32
+    on-device. Iteration length is the lock-step minimum of odometry
+    rows and contiguous on-disk frames, so a truncated dataset ends the
+    stream cleanly instead of crashing mid-run.
     """
 
     def __init__(self, root: str, start: int = 0, count: int | None = None,
@@ -160,6 +165,15 @@ class DatasetRoom:
                     rows.append([float(p) for p in parts[:3]])
         self.odo = np.asarray(rows, np.float32)
         n = len(self.odo) - start
+        # lock-step feed: images and odometry advance together, so the
+        # usable length is bounded by the contiguous frames on disk (a
+        # truncated copy must end the stream, not crash mid-iteration)
+        n_img = 0
+        while n_img < n and os.path.exists(
+            os.path.join(root, "image", f"{start + n_img}.bmp")
+        ):
+            n_img += 1
+        n = min(n, n_img)
         self.start = start
         self.count = n if count is None else min(count, n)
         if use_native is None:
@@ -189,10 +203,13 @@ class DatasetRoom:
                     # 1/4/16-bit): PIL decodes just this frame
                     from PIL import Image
 
-                    img = np.asarray(
-                        Image.open(self.image_path(i)).convert("L"),
-                        np.float32,
-                    )
+                    try:
+                        img = np.asarray(
+                            Image.open(self.image_path(i)).convert("L"),
+                            np.uint8,
+                        )
+                    except FileNotFoundError:
+                        return      # frame vanished mid-run: end cleanly
                 except StopIteration:
                     return
                 yield img, self.odo[i]
@@ -206,8 +223,11 @@ class DatasetRoom:
         from PIL import Image
 
         for i in range(self.start, self.start + self.count):
-            img = Image.open(self.image_path(i)).convert("L")
+            try:
+                img = Image.open(self.image_path(i)).convert("L")
+            except FileNotFoundError:
+                return              # frame vanished mid-run: end cleanly
             yield (
-                np.asarray(img, np.float32),
+                np.asarray(img, np.uint8),
                 self.odo[i],
             )

@@ -3,7 +3,7 @@
 The reference's feed path is C++ (test_vn's imread loop,
 test/test_vn.cpp:43-55); here image decode + file IO run in a native
 worker pool off the Python thread (``se2lam_tpu/native/se2lam_native.cpp``), so the
-host loop only pops finished float32 frames while the device pipeline
+host loop only pops finished uint8 frames while the device pipeline
 runs. The library is compiled on demand with g++ and cached; callers
 fall back to the PIL path when no toolchain is available.
 """
@@ -92,12 +92,12 @@ def _build_and_load():
     ]
     lib.dl_next.restype = ctypes.c_int64
     lib.dl_next.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
     lib.dl_close.argtypes = [ctypes.c_void_p]
     lib.dl_decode_bmp.restype = ctypes.c_int64
     lib.dl_decode_bmp.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
     ]
     _LIB = lib
     return lib
@@ -111,7 +111,11 @@ _DECODE_BUF: np.ndarray | None = None
 
 
 def decode_bmp(path: str, max_pixels: int = 1 << 24) -> np.ndarray | None:
-    """Synchronous native BMP decode → float32 grayscale, or None.
+    """Synchronous native BMP decode → uint8 grayscale, or None.
+
+    uint8 keeps the frame at 1 byte/px on the host→device wire (the f32
+    cast happens on-device in the extractor); a float feed quadruples
+    the transfer, which is the e2e bottleneck on remote-attached chips.
 
     Reuses one module-level scratch buffer (a fresh 64 MB allocation per
     call would dominate small-frame decodes). Not thread-safe; the
@@ -121,10 +125,10 @@ def decode_bmp(path: str, max_pixels: int = 1 << 24) -> np.ndarray | None:
         return None
     global _DECODE_BUF
     if _DECODE_BUF is None or _DECODE_BUF.size < max_pixels:
-        _DECODE_BUF = np.empty(max_pixels, np.float32)
+        _DECODE_BUF = np.empty(max_pixels, np.uint8)
     buf = _DECODE_BUF
     hw = lib.dl_decode_bmp(
-        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         buf.size,
     )
     if hw <= 0:
@@ -136,8 +140,8 @@ def decode_bmp(path: str, max_pixels: int = 1 << 24) -> np.ndarray | None:
 class NativePrefetcher:
     """Iterator over <dir>/<i>.bmp frames decoded by a native worker pool.
 
-    Frames arrive in order; a bounded ring keeps ``ring_cap`` frames
-    decoded ahead of the consumer.
+    Frames arrive in order (uint8 grayscale); a bounded ring keeps
+    ``ring_cap`` frames decoded ahead of the consumer.
     """
 
     def __init__(self, image_dir: str, start: int, count: int,
@@ -150,7 +154,7 @@ class NativePrefetcher:
         self._h = lib.dl_open(
             image_dir.encode(), start, count, threads, ring_cap
         )
-        self._buf = np.empty(max_pixels, np.float32)
+        self._buf = np.empty(max_pixels, np.uint8)
         self._max = max_pixels
         self._closed = False
         self._next_index = start
@@ -163,7 +167,7 @@ class NativePrefetcher:
             raise StopIteration
         hw = self._lib.dl_next(
             self._h,
-            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             self._max,
         )
         if hw == -1:

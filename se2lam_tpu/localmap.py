@@ -457,6 +457,12 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
         & has_next
         & (prev_of >= 0)
         & (~ftr_endpoint | (min_ratio <= 0.0))
+        # reference protects the first TWO keyframes (`thisKF->mIdKF <=
+        # 1`, src/Map.cpp:171) — KF1 is interior to the chain once KF2
+        # exists but anchors the gauge region. Slot index == insertion
+        # id until a capacity compaction (which the reference never
+        # does); the capacity escape hatch overrides, as for ftr edges
+        & ((jnp.arange(K) > 1) | (min_ratio <= 0.0))
         & (jnp.arange(K) != cur_kf)
         & (jnp.arange(K) != protect)   # e.g. the live tracking reference
     )

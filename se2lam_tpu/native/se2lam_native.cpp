@@ -8,7 +8,8 @@
 // frames through a ctypes API.
 //
 // Supports uncompressed 8-bit palette and 24/32-bit BMP (the DatasetRoom
-// format), converted to float32 grayscale.
+// format), converted to uint8 grayscale (1 byte/px — frames ship to
+// the device in source dtype; f32 cast happens on-device).
 //
 // Build: g++ -O2 -shared -fPIC -o libse2lam_native.so se2lam_native.cpp -lpthread
 
@@ -26,7 +27,7 @@ namespace {
 struct Image {
   int index = -1;
   int h = 0, w = 0;
-  std::vector<float> pix;
+  std::vector<uint8_t> pix;
   bool ok = false;
 };
 
@@ -77,7 +78,7 @@ bool decode_bmp_gray(const std::string& path, Image* out) {
   // palette for 8-bit (grayscale value = luma of the palette entry).
   // Always 256 entries: pixel bytes index the full range even when the
   // file declares fewer colors (legal truncated palettes).
-  std::vector<float> palette;
+  std::vector<uint8_t> palette;
   if (bpp == 8) {
     uint32_t n = ih.clr_used ? ih.clr_used : 256;
     if (n > 256) n = 256;
@@ -87,17 +88,18 @@ bool decode_bmp_gray(const std::string& path, Image* out) {
       std::fclose(f);
       return false;
     }
-    palette.assign(256, 0.0f);
+    palette.assign(256, 0);
     for (uint32_t i = 0; i < n; ++i) {
-      palette[i] = 0.114f * pal[4 * i] + 0.587f * pal[4 * i + 1] +
-                   0.299f * pal[4 * i + 2];
+      const float luma = 0.114f * pal[4 * i] + 0.587f * pal[4 * i + 1] +
+                         0.299f * pal[4 * i + 2];
+      palette[i] = (uint8_t)(luma + 0.5f);
     }
   }
 
   const int bytes_pp = bpp / 8;
   const size_t stride = ((size_t)w * bytes_pp + 3) & ~size_t(3);
   std::vector<uint8_t> row(stride);
-  out->pix.assign((size_t)w * h, 0.0f);
+  out->pix.assign((size_t)w * h, 0);
   std::fseek(f, fh.off_bits, SEEK_SET);
   for (int r = 0; r < h; ++r) {
     if (std::fread(row.data(), 1, stride, f) != stride) {
@@ -105,13 +107,15 @@ bool decode_bmp_gray(const std::string& path, Image* out) {
       return false;
     }
     const int y = flip ? (h - 1 - r) : r;
-    float* dst = out->pix.data() + (size_t)y * w;
+    uint8_t* dst = out->pix.data() + (size_t)y * w;
     if (bpp == 8) {
       for (int x = 0; x < w; ++x) dst[x] = palette[row[x]];
     } else {
       for (int x = 0; x < w; ++x) {
         const uint8_t* p = row.data() + (size_t)x * bytes_pp;
-        dst[x] = 0.114f * p[0] + 0.587f * p[1] + 0.299f * p[2];  // BGR
+        const float luma =
+            0.114f * p[0] + 0.587f * p[1] + 0.299f * p[2];  // BGR
+        dst[x] = (uint8_t)(luma + 0.5f);
       }
     }
   }
@@ -170,7 +174,7 @@ struct Loader {
   }
 
   // returns h<<32 | w on success, 0 on decode failure, -1 at end
-  int64_t pop(float* out, int64_t cap_elems) {
+  int64_t pop(uint8_t* out, int64_t cap_elems) {
     std::unique_lock<std::mutex> lk(mu);
     if (next_pop >= start + count) return -1;
     const int want = next_pop;
@@ -189,7 +193,7 @@ struct Loader {
         if (!im.ok) return 0;
         const int64_t n = (int64_t)im.h * im.w;
         if (n > cap_elems) return 0;
-        std::memcpy(out, im.pix.data(), n * sizeof(float));
+        std::memcpy(out, im.pix.data(), n);
         return ((int64_t)im.h << 32) | (uint32_t)im.w;
       }
     }
@@ -217,21 +221,21 @@ void* dl_open(const char* dir, int start, int count, int threads,
   return new Loader(dir, start, count, threads, ring_cap);
 }
 
-// out must hold cap_elems float32; returns (h<<32|w), 0 on failure, -1 at end
-int64_t dl_next(void* h, float* out, int64_t cap_elems) {
+// out must hold cap_elems uint8; returns (h<<32|w), 0 on failure, -1 at end
+int64_t dl_next(void* h, uint8_t* out, int64_t cap_elems) {
   return static_cast<Loader*>(h)->pop(out, cap_elems);
 }
 
 void dl_close(void* h) { delete static_cast<Loader*>(h); }
 
 // one-shot synchronous decode (no threads)
-int64_t dl_decode_bmp(const char* path, float* out, int64_t cap_elems) {
+int64_t dl_decode_bmp(const char* path, uint8_t* out, int64_t cap_elems) {
   try {
     Image im;
     if (!decode_bmp_gray(path, &im)) return 0;
     const int64_t n = (int64_t)im.h * im.w;
     if (n > cap_elems) return 0;
-    std::memcpy(out, im.pix.data(), n * sizeof(float));
+    std::memcpy(out, im.pix.data(), n);
     return ((int64_t)im.h << 32) | (uint32_t)im.w;
   } catch (...) {
     return 0;

@@ -23,7 +23,7 @@ __all__ = [
 
 
 def normalize_angle(theta):
-    """Wrap angle(s) to (-pi, pi]."""
+    """Wrap angle(s) to [-pi, pi) — note +pi maps to -pi."""
     return theta - 2.0 * jnp.pi * jnp.floor((theta + jnp.pi) / (2.0 * jnp.pi))
 
 

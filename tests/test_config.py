@@ -85,3 +85,21 @@ def test_defaults_roundtrip():
     assert cfg.level_sigma2.shape == (cfg.max_level,)
     cfg2 = cfg.replace(fps=5)
     assert cfg2.fps == 5 and cfg.fps == 30
+
+
+def test_read_cv_yaml_quoted_hash(tmp_path):
+    """'#' inside a quoted scalar is data, not a comment; trailing
+    comments outside quotes still strip."""
+    from se2lam_tpu.config import read_cv_yaml
+
+    p = tmp_path / "q.yml"
+    p.write_text(
+        '%YAML:1.0\n---\n'
+        'map_file_path: "/data/run #3/map"  # trailing comment\n'
+        "other_path: '/a #b'\n"
+        'fps: 30  # comment\n'
+    )
+    y = read_cv_yaml(str(p))
+    assert y["map_file_path"] == "/data/run #3/map"
+    assert y["other_path"] == "/a #b"
+    assert y["fps"] == 30

@@ -87,3 +87,30 @@ def test_graft_entry_cpu():
     ts2, res = out
     assert int(res.n_matched) > 50
     assert np.isfinite(np.asarray(res.pose)).all()
+
+
+def test_dataset_room_truncated_images(tmp_path):
+    """A dataset with more odometry rows than frames on disk (interrupted
+    copy) must iterate exactly the available frames and stop cleanly."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from se2lam_tpu.io import DatasetRoom
+
+    root = tmp_path / "DatasetRoom"
+    (root / "image").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    with open(root / "odo_raw.txt", "w") as f:
+        for i in range(6):
+            f.write(f"{i * 0.1} 0.0 0.0\n")
+    for i in range(4):                      # only 4 of 6 frames exist
+        Image.fromarray(
+            rng.integers(0, 255, (16, 24)).astype(np.uint8), mode="L"
+        ).save(root / "image" / f"{i}.bmp")
+
+    ds = DatasetRoom(str(root))
+    out = list(ds)
+    assert len(ds) == 4 and len(out) == 4
+    assert out[0][0].dtype == np.uint8      # frames stay 1 byte/px
