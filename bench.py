@@ -62,6 +62,9 @@ def _dial_watchdog(seconds: int | None = None):
         f"    if os.path.exists({sentinel!r}): sys.exit(0)\n"
         "    try: os.kill(ppid,0)\n"
         "    except OSError: sys.exit(0)\n"
+        "# a dial that succeeded just under the deadline may have written\n"
+        "# the sentinel during the final sleep: re-check before killing\n"
+        f"if os.path.exists({sentinel!r}): sys.exit(0)\n"
         f"sys.stderr.write('bench.py: device backend did not come up "
         f"within {seconds}s - the axon relay is likely down (ports "
         "closed); rerun when the tunnel is restored\\n')\n"
@@ -138,7 +141,8 @@ def main():
     #      keyframe (mints map points), re-seed tracking on it — the
     #      state the system actually tracks from, with ref_obs_mask and
     #      local map populated ----
-    feats0 = jax.jit(extract)(imgs[0])
+    extract_j = jax.jit(extract)
+    feats0 = extract_j(imgs[0])
     ms = localmap.insert_first_kf(
         empty_map(cfg.cap), feats0, jnp.zeros(3, jnp.float32), odos[0]
     )
@@ -150,7 +154,7 @@ def main():
     for i in range(1, n_seed):
         key, sub = jax.random.split(key)
         ts, res = step(imgs[i], ts, odos[i], sub)
-    feats_kf = jax.jit(extract)(imgs[n_seed - 1])
+    feats_kf = extract_j(imgs[n_seed - 1])
     ms, k = localmap.add_keyframe(
         ms, feats_kf, ts.cur_pose, odos[n_seed - 1], ts.ref_kf_idx,
         ts.match_idx, ts.local_mps, ts.local_mp_valid, ts.good_prl,
@@ -184,11 +188,21 @@ def main():
     # ---- wall-clock fps: threaded state, all-distinct inputs; the
     #      carried dependency chains every step, one value fetch at the
     #      end forces the chain ----
-    # warm/compile with a key outside the timed set so the warm dispatch
-    # is not bitwise identical to timed iteration 0 (cache-serve trap)
-    warm_key = jax.random.PRNGKey(991)
-    ts_warm, res_warm = step(timed_imgs[0], ts, timed_odos[0], warm_key)
-    float(force(ts_warm, res_warm))          # compile before timing
+    # warm/compile with keys outside the timed set so the warm dispatches
+    # are not bitwise identical to timed iteration 0 (cache-serve trap).
+    # BOTH programs (step and force) need >=3 executions on distinct
+    # inputs before timing: the remote runtime reaches steady state only
+    # after ~2 executions of a compiled program (76 s -> 21 s -> 0.15 s
+    # observed), so a once-warmed program charges its pre-steady-state
+    # execution to the timed region
+    ts_w = ts
+    for w in range(3):
+        ts_w, res_w = step(
+            timed_imgs[w % len(timed_imgs)] + np.float32(w + 1) * 1e-3,
+            ts_w, timed_odos[w % len(timed_odos)],
+            jax.random.PRNGKey(991 + w),
+        )
+        float(force(ts_w, res_w))
 
     ts_run = ts
     t0 = time.perf_counter()

@@ -174,10 +174,19 @@ def main():
 
     for w in range(3):
         p, t = serve(img_bk + np.uint8(w), pose_b, odo_bk)
+        # the warm-ups must COMPLETE before timing starts: without the
+        # fetch they only enqueue (async dispatch), and rep 1 would block
+        # on all three warm executions plus its own
+        float(jnp.sum(p * p) + jnp.sum(t))
     times = []
+    # perturbed inputs prepared OUTSIDE the timed region (the tracking
+    # sweep above hoists its `pert` the same way)
+    perts = [img_bk + np.uint8(3 + r) for r in range(args.reps)]
+    for p_ in perts:                 # fetch forces completion (not
+        float(p_[0, 0, 0, 0])        # block_until_ready — tunnel trap)
     for r in range(args.reps):
         t0 = time.perf_counter()
-        p, t = serve(img_bk + np.uint8(3 + r), pose_b, odo_bk)
+        p, t = serve(perts[r], pose_b, odo_bk)
         # one scalar fetch forces extraction + localization chain
         tot = float(jnp.sum(p * p) + jnp.sum(t))
         times.append(time.perf_counter() - t0 - rtt)

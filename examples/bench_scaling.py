@@ -37,51 +37,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_problem(rng, K, M, O):
-    import jax
+    """Synthetic window via the shared builder (__graft_entry__._ba_problem
+    — one copy of the geometry, z-clamped projections included)."""
     import jax.numpy as jnp
 
-    from se2lam_tpu.ops import se2
+    from __graft_entry__ import _ba_problem
     from se2lam_tpu.ops.camera import CameraModel
-    from se2lam_tpu.solver import BAProblem
 
     cam = CameraModel.create(500.0, 500.0, 320.0, 240.0)
     Tcb = jnp.asarray(
         np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
                  np.float32)
     )
-    poses = np.cumsum(rng.normal(0.08, 0.01, (K, 3)).astype(np.float32), 0)
-    points = np.stack(
-        [rng.uniform(3, 10, M), rng.uniform(-4, 4, M), rng.uniform(-1, 1, M)],
-        -1,
-    ).astype(np.float32)
-    obs_kf = rng.integers(0, K, O).astype(np.int32)
-    obs_mp = rng.integers(0, M, O).astype(np.int32)
-    pj = jnp.asarray(poses)[obs_kf]
-    xj = jnp.asarray(points)[obs_mp]
-    Tcw = Tcb @ jax.vmap(lambda p: jnp.linalg.inv(se2.to_se3(p)))(pj)
-    lc = jnp.einsum("oij,oj->oi", Tcw[:, :3, :3], xj) + Tcw[:, :3, 3]
-    ok = lc[:, 2] > 0.2
-    uv = jnp.stack(
-        [cam.fx * lc[:, 0] / lc[:, 2] + cam.cx,
-         cam.fy * lc[:, 1] / lc[:, 2] + cam.cy], -1,
-    )
-    prob = BAProblem(
-        poses=jnp.asarray(poses + rng.normal(0, 0.01, (K, 3)).astype(np.float32)),
-        points=jnp.asarray(points),
-        pose_valid=jnp.ones(K, bool),
-        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
-        point_valid=jnp.ones(M, bool),
-        obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
-        obs_uv=uv,
-        obs_info=jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (O, 2, 2)),
-        obs_valid=ok,
-        edge_i=jnp.arange(K - 1, dtype=jnp.int32),
-        edge_j=jnp.arange(1, K, dtype=jnp.int32),
-        edge_meas=jax.vmap(se2.minus)(jnp.asarray(poses)[1:], jnp.asarray(poses)[:-1]),
-        edge_info=jnp.broadcast_to(100.0 * jnp.eye(3, dtype=jnp.float32),
-                                   (K - 1, 3, 3)),
-        edge_valid=jnp.ones(K - 1, bool),
-    )
+    prob = _ba_problem(rng, K, M, O, cam, Tcb)
     return prob, cam, Tcb
 
 

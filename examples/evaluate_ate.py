@@ -42,8 +42,14 @@ def load_any(path: str) -> np.ndarray:
             parts = ln.split(",") if "," in ln else ln.split()
             if len(parts) < 3:
                 continue
+            x, y = float(parts[1]), float(parts[2])
+            # the Localizer CSV writes nan rows for untracked frames
+            # (localizer.save_trajectory); they carry no position and
+            # would poison the RMSE into NaN
+            if not (np.isfinite(x) and np.isfinite(y)):
+                continue
             ids.append(float(parts[0]))
-            xy.append((float(parts[1]), float(parts[2])))
+            xy.append((x, y))
     if not ids:
         raise SystemExit(f"no trajectory rows in {path}")
     out = np.column_stack([np.asarray(ids), np.asarray(xy)])

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("map_dir")
     ap.add_argument("dataset", nargs="?")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--cam", help="CamConfig.yml (default: <dataset>/../)")
+    ap.add_argument("--settings", help="Settings.yml (default: <dataset>/../)")
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--out", default="./loc_out")
     ap.add_argument("--chunk", type=int, default=0, metavar="K",
@@ -46,9 +48,19 @@ def main():
     else:
         if not args.dataset:
             ap.error("dataset directory or --synthetic required")
+        from se2lam_tpu.config import SystemConfig
         from se2lam_tpu.io import DatasetRoom
 
-        cfg = synthetic_cfg()
+        # the dataset's own intrinsics/settings — a map built by
+        # run_dataset.py used these; synthetic intrinsics against a real
+        # dataset would silently localize nothing
+        cam = args.cam or os.path.join(args.dataset, "..", "CamConfig.yml")
+        st = args.settings or os.path.join(args.dataset, "..", "Settings.yml")
+        if os.path.exists(cam) and os.path.exists(st):
+            cfg = SystemConfig.from_yaml(cam, st)
+        else:
+            print("warning: config YAMLs not found, using defaults")
+            cfg = synthetic_cfg()
         feed = iter(DatasetRoom(args.dataset, count=args.frames))
 
     loc = Localizer(cfg, ms, vocab)
