@@ -7,8 +7,18 @@ as long as no backend has been initialized yet.
 """
 import os
 
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # an inherited count != 8 would silently break the 8-way mesh tests:
+    # override it rather than trusting whatever leaked into the env
+    flags = _re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", flags,
+    )
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()

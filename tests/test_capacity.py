@@ -11,23 +11,31 @@ from synth_utils import TCB
 from test_prune import check_consistency
 
 
-def test_kf_capacity_exhaustion():
+def _cfg(**kw):
+    """The module's shared capacity-stress configuration: tiny 8-KF
+    budget, 160x120 frames, 128 features, fast keyframe cadence."""
     from se2lam_tpu.frontend.orb import OrbConfig
 
     oc = OrbConfig(height=120, width=160, n_features=128,
                    scale_factor=1.2, n_levels=2)
-    cfg = SystemConfig(
+    cap = kw.pop("cap", None) or Capacity(
+        n_features=oc.n_slots, max_kfs=8, max_mps=512,
+        local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
+    )
+    base = dict(
         width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
         Tbc=tuple(np.linalg.inv(TCB).ravel()),
         upper_depth=30.0, lower_depth=0.2,
         max_feature_num=128, max_level=2,
-        min_frames_between_kf=1, max_frames_between_kf=2,  # force KFs fast
+        min_frames_between_kf=1, max_frames_between_kf=2,
         local_iter=4,
-        cap=Capacity(
-            n_features=oc.n_slots, max_kfs=8, max_mps=512,  # tiny budget
-            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
-        ),
     )
+    base.update(kw)
+    return SystemConfig(cap=cap, **base)
+
+
+def test_kf_capacity_exhaustion():
+    cfg = _cfg()
     world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
     slam = SlamSystem(cfg, enable_loops=False)
     n = 40
@@ -59,23 +67,9 @@ def test_capacity_pressure_keeps_mapping():
     """2.5× over-capacity sequence: forced pruning + slot compaction must
     keep inserting keyframes (not silently degrade to odometry-only),
     with the retro-corrected trajectory bounded and the map consistent."""
-    from se2lam_tpu.frontend.orb import OrbConfig
     from se2lam_tpu.io import ate_se2
 
-    oc = OrbConfig(height=120, width=160, n_features=128,
-                   scale_factor=1.2, n_levels=2)
-    cfg = SystemConfig(
-        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
-        Tbc=tuple(np.linalg.inv(TCB).ravel()),
-        upper_depth=30.0, lower_depth=0.2,
-        max_feature_num=128, max_level=2,
-        min_frames_between_kf=1, max_frames_between_kf=2,
-        local_iter=4,
-        cap=Capacity(
-            n_features=oc.n_slots, max_kfs=8, max_mps=512,
-            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
-        ),
-    )
+    cfg = _cfg()
     world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
     slam = SlamSystem(cfg, enable_loops=False)
     n = 44   # ~20+ KF-worthy frames against an 8-slot budget
@@ -103,22 +97,7 @@ def test_capacity_pressure_chunked_feed():
     compaction permutes keyframe slots and remaps the tracking state
     while a chunk is in flight — the re-dispatch after the insert must
     pick up the remapped state (system.process_chunk's segment loop)."""
-    from se2lam_tpu.frontend.orb import OrbConfig
-
-    oc = OrbConfig(height=120, width=160, n_features=128,
-                   scale_factor=1.2, n_levels=2)
-    cfg = SystemConfig(
-        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
-        Tbc=tuple(np.linalg.inv(TCB).ravel()),
-        upper_depth=30.0, lower_depth=0.2,
-        max_feature_num=128, max_level=2,
-        min_frames_between_kf=1, max_frames_between_kf=2,
-        local_iter=4,
-        cap=Capacity(
-            n_features=oc.n_slots, max_kfs=8, max_mps=512,
-            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
-        ),
-    )
+    cfg = _cfg()
     world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
     slam = SlamSystem(cfg, enable_loops=False)
     frames = list(world.sequence(40, noise=(0.002, 0.001, 0.001)))
@@ -147,22 +126,7 @@ def test_compacted_anchors_follow_corrections():
     correction-sized discontinuity."""
     import jax.numpy as jnp
 
-    from se2lam_tpu.frontend.orb import OrbConfig
-
-    oc = OrbConfig(height=120, width=160, n_features=128,
-                   scale_factor=1.2, n_levels=2)
-    cfg = SystemConfig(
-        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
-        Tbc=tuple(np.linalg.inv(TCB).ravel()),
-        upper_depth=30.0, lower_depth=0.2,
-        max_feature_num=128, max_level=2,
-        min_frames_between_kf=1, max_frames_between_kf=2,
-        local_iter=4,
-        cap=Capacity(
-            n_features=oc.n_slots, max_kfs=8, max_mps=512,
-            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
-        ),
-    )
+    cfg = _cfg()
     world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
     slam = SlamSystem(cfg, enable_loops=False)
     for img, odo in world.sequence(44, noise=(0.002, 0.001, 0.001)):
@@ -208,26 +172,9 @@ def test_capacity_pressure_with_loops_enabled():
     rebuild the BoW bank and remap the closer's state without error
     (the loops-and-compaction interplay; loop closures themselves are
     covered in test_system/test_loop_reference_gates)."""
-    from se2lam_tpu.frontend.orb import OrbConfig
-
-    oc = OrbConfig(height=120, width=160, n_features=128,
-                   scale_factor=1.2, n_levels=2)
-    cfg = SystemConfig(
-        width=160, height=120, fx=130.0, fy=130.0, cx=80.0, cy=60.0,
-        Tbc=tuple(np.linalg.inv(TCB).ravel()),
-        upper_depth=30.0, lower_depth=0.2,
-        max_feature_num=128, max_level=2,
-        min_frames_between_kf=1, max_frames_between_kf=2,
-        local_iter=4,
-        # loop gates scaled to the 128-feature scene
-        gm_dcl_min_kfid_offset=4,
-        gm_vcl_num_min_match_mp=6,
-        gm_vcl_num_min_match_kp=12,
-        cap=Capacity(
-            n_features=oc.n_slots, max_kfs=8, max_mps=512,
-            local_kfs=4, local_ref_kfs=4, local_mps=128, ransac_trials=32,
-        ),
-    )
+    # loop gates scaled to the 128-feature scene
+    cfg = _cfg(gm_dcl_min_kfid_offset=4, gm_vcl_num_min_match_mp=6,
+               gm_vcl_num_min_match_kp=12)
     world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
     slam = SlamSystem(cfg, enable_loops=True)
     for img, odo in world.sequence(44, noise=(0.002, 0.001, 0.001)):

@@ -51,7 +51,9 @@ def test_majority_beats_noise(rng):
     import jax
 
     def noisy(i):
-        flip = rng.random(bits_true.shape) < 0.08
+        # keyed by frame index: noisy(i) is deterministic per frame
+        r = np.random.default_rng(1000 + i)
+        flip = r.random(bits_true.shape) < 0.08
         return np.where(flip, 1 - bits_true, bits_true).astype(np.uint8)
 
     ms = empty_map(cfg.cap)

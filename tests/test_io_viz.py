@@ -73,13 +73,21 @@ def test_viz_dumps(tmp_path, rng):
     assert p_dbg.stat().st_size > 100
 
 
-def test_graft_entry_cpu():
+def _import_graft_entry():
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __graft_entry__ as g
+    return g
+
+
+def test_graft_entry_cpu():
     import jax
 
-    import __graft_entry__ as g
+    g = _import_graft_entry()
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
@@ -114,3 +122,13 @@ def test_dataset_room_truncated_images(tmp_path):
     out = list(ds)
     assert len(ds) == 4 and len(out) == 4
     assert out[0][0].dtype == np.uint8      # frames stay 1 byte/px
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver contract (CLAUDE.md): dryrun_multichip(8) must compile
+    and run the sharded paths — distributed local BA, pose graph, bank
+    scoring, fleet tracking — on the suite's 8-device CPU mesh. Its
+    internal asserts cross-check the distributed solvers against their
+    single-device counterparts."""
+    g = _import_graft_entry()
+    g.dryrun_multichip(8)

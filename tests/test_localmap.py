@@ -14,8 +14,12 @@ from se2lam_tpu.ops import se2
 from synth_utils import feats_at, make_cfg, make_scene
 
 
-def drive_frames(cfg, poses_gt, odo_readings, pts, bits, ms=None):
-    """Run tracking + KF insertion over a pose list. Returns (ms, kf list)."""
+def drive_frames(cfg, poses_gt, odo_readings, pts, bits, ms=None,
+                 kf_frames=None):
+    """Run tracking + KF insertion over a pose list. Returns (ms, kf list).
+
+    ``kf_frames``: optional list, filled with the frame index each
+    keyframe was inserted at (for ground-truth association)."""
     ms = empty_map(cfg.cap) if ms is None else ms
     f0 = feats_at(cfg, odo_readings[0], pts, bits)
     ms = localmap.insert_first_kf(
@@ -27,6 +31,8 @@ def drive_frames(cfg, poses_gt, odo_readings, pts, bits, ms=None):
         view, mask,
     )
     kfs = [0]
+    if kf_frames is not None:
+        kf_frames.append(0)
     for i in range(1, len(poses_gt)):
         f = feats_at(cfg, poses_gt[i], pts, bits)
         ts, res = tracking.track_frame(
@@ -39,6 +45,8 @@ def drive_frames(cfg, poses_gt, odo_readings, pts, bits, ms=None):
                 ts.local_mp_valid, ts.good_prl, ts.pre_meas, ts.pre_cov, cfg,
             )
             kfs.append(int(k))
+            if kf_frames is not None:
+                kf_frames.append(i)
             view, mask = localmap.kf_track_seed(ms, k)
             ts = tracking.init_track_state(
                 f, ms.kf_pose[k], jnp.asarray(odo_readings[i]), k, view, mask
@@ -134,22 +142,33 @@ def test_local_ba_corrects_odo_noise(rng):
                 np.float32,
             )
         )
-    ms, kfs = drive_frames(cfg, poses, odo, pts, bits)
+    kf_frames: list = []
+    ms, kfs = drive_frames(cfg, poses, odo, pts, bits, kf_frames=kf_frames)
     assert len(kfs) >= 3
     k_last = kfs[-1]
 
     before = np.asarray(ms.kf_pose)
     ms2, info = localmap.run_local_ba(ms, jnp.asarray(k_last), cfg)
     after = np.asarray(ms2.kf_pose)
-    assert float(info["chi2"]) <= float(info["chi2_init"]) + 1e-6
     assert np.isfinite(after).all()
-
-    gt = {k: poses[min(i * (len(poses) - 1) // max(len(kfs) - 1, 1), len(poses) - 1)]
-          for i, k in enumerate(kfs)}
-    # chi2 must drop substantially when odometry disagrees with vision
-    assert float(info["chi2"]) < 0.9 * float(info["chi2_init"]) or float(
-        info["chi2_init"]
-    ) < 1e3
+    # chi2 must drop substantially when odometry disagrees with vision —
+    # no escape hatch: a no-op solver (chi2 == chi2_init) must FAIL here
+    assert float(info["chi2"]) < 0.9 * float(info["chi2_init"]), (
+        f"BA did not reduce chi2: {info['chi2_init']} -> {info['chi2']}"
+    )
+    # and the keyframe POSES must move toward ground truth (the first KF
+    # is gauge-fixed at the noisy odo origin, so compare xy error sums
+    # over the non-fixed keyframes)
+    gt_kf = np.asarray([poses[f] for f in kf_frames])
+    err_before = np.linalg.norm(
+        before[kfs][1:, :2] - gt_kf[1:, :2], axis=1
+    ).sum()
+    err_after = np.linalg.norm(
+        after[kfs][1:, :2] - gt_kf[1:, :2], axis=1
+    ).sum()
+    assert err_after < err_before, (
+        f"BA moved poses away from ground truth: {err_before} -> {err_after}"
+    )
 
 
 def test_ba_noop_on_consistent_map(rng):

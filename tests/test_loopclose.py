@@ -176,9 +176,6 @@ def test_full_loop_closure_reduces_drift(rng):
             kfs.append(k)
             kf_gt[k] = gt[i]
             ms, _ = localmap.run_local_ba(ms, jnp.asarray(k), cfg)
-            err_before = np.linalg.norm(
-                np.asarray(ms.kf_pose[k][:2]) - gt[i][:2]
-            )
             ms = closer.on_new_kf(ms, k)
             view, mask = localmap.kf_track_seed(ms, k)
             ts = tracking.init_track_state(

@@ -10,7 +10,10 @@ def test_work_timer():
     ms = t.stop()
     assert 5.0 < ms < 1000.0
     t.start()
-    assert t.stop() < ms
+    # immediate stop is small but NOT compared to the sleep-backed
+    # measurement above — a scheduler preemption on a loaded box could
+    # exceed it and flake
+    assert t.stop() < 1000.0
 
 
 def test_stage_timer_report():

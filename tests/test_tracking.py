@@ -10,75 +10,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from se2lam_tpu import factors
-from se2lam_tpu.config import Capacity, SystemConfig
-from se2lam_tpu.frontend.orb import OrbFeatures, pack_bits
 from se2lam_tpu.ops import se2
 from se2lam_tpu.tracking import init_track_state, track_frame
 
-
-def body_to_cam():
-    # camera looks along +x of the body: standard ground-robot rig
-    R = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float64)
-    T = np.eye(4)
-    T[:3, :3] = R
-    return T
-
-
-def make_cfg(n_feats=64):
-    Tbc = np.linalg.inv(body_to_cam())
-    return SystemConfig(
-        fx=420.0, fy=420.0, cx=320.0, cy=240.0,
-        Tbc=tuple(Tbc.ravel()),
-        max_feature_num=n_feats,
-        upper_depth=50.0, lower_depth=0.1,
-        min_frames_between_kf=2, max_frames_between_kf=10,
-        cap=Capacity(n_features=n_feats, ransac_trials=64),
-    )
+# scene/config/projection helpers are shared with the other stage tests
+# (an earlier local copy of feats_at had dropped the z==0 divide guard)
+from synth_utils import feats_at, make_cfg, make_scene, se2_mat
 
 
 def feats_from_scene(rng, cfg, pose_se2, pts_w, bits):
-    """Project world points through an SE2 body pose into OrbFeatures."""
-    N = pts_w.shape[0]
-    Tcb = cfg.Tcb_mat
-    Tbw = np.linalg.inv(se2_mat(pose_se2))
-    Tcw = Tcb @ Tbw
-    pc = (Tcw[:3, :3] @ pts_w.T).T + Tcw[:3, 3]
-    u = cfg.fx * pc[:, 0] / pc[:, 2] + cfg.cx
-    v = cfg.fy * pc[:, 1] / pc[:, 2] + cfg.cy
-    xy = np.stack([u, v], -1).astype(np.float32)
-    valid = (pc[:, 2] > 0.05) & (u > 0) & (u < 640) & (v > 0) & (v < 480)
-    b = jnp.asarray(bits)
-    return OrbFeatures(
-        xy=jnp.asarray(xy),
-        angle=jnp.zeros(N, jnp.float32),
-        octave=jnp.zeros(N, jnp.int32),
-        response=jnp.ones(N, jnp.float32),
-        valid=jnp.asarray(valid),
-        desc_bits=pack_bits(b),
-        desc_pm1=(1 - 2 * b.astype(jnp.int8)),
-    )
-
-
-def se2_mat(p):
-    c, s = np.cos(p[2]), np.sin(p[2])
-    T = np.eye(4)
-    T[:2, :2] = [[c, -s], [s, c]]
-    T[0, 3], T[1, 3] = p[0], p[1]
-    return T
+    return feats_at(cfg, pose_se2, pts_w, bits)
 
 
 def setup_scene(rng, cfg, n=64):
     # landmarks 3-8 m ahead of the origin-facing camera (+x body)
-    pts = np.stack(
-        [
-            rng.uniform(3.0, 8.0, n),
-            rng.uniform(-2.0, 2.0, n),
-            rng.uniform(-1.0, 1.0, n),
-        ],
-        -1,
-    )
-    bits = (rng.random((n, 256)) < 0.5).astype(np.uint8)
-    return pts, bits
+    return make_scene(rng, n=n, depth=(3.0, 8.0))
 
 
 def run_step(ts, feats, odom, cfg, seed=0):
