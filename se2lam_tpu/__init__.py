@@ -36,6 +36,7 @@ def __getattr__(name):
         "MapState": ("se2lam_tpu.mapstate", "MapState"),
         "empty_map": ("se2lam_tpu.mapstate", "empty_map"),
         "LoopCloser": ("se2lam_tpu.loopclose", "LoopCloser"),
+        "merge_maps": ("se2lam_tpu.mapmerge", "merge_maps"),
     }
     if name in _lazy:
         import importlib
