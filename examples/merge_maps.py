@@ -34,6 +34,8 @@ def main():
     from se2lam_tpu.io import load_map, save_map
     from se2lam_tpu.mapmerge import merge_maps
 
+    if bool(args.cam) != bool(args.settings):
+        ap.error("--cam and --settings must be given together")
     if args.cam and args.settings:
         from se2lam_tpu.config import SystemConfig
 

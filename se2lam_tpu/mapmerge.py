@@ -42,6 +42,7 @@ from .loopclose import (
     kf_features,
     merge_loop_mps,
     run_global_ba,
+    run_global_ba_joint,
     verify_loop,
 )
 from .mapstate import MapState
@@ -51,6 +52,25 @@ from .solver.poseonly import solve_pose_only
 
 __all__ = ["find_cross_pair", "align_transform", "transform_map",
            "concat_maps", "merge_maps"]
+
+
+def _check_layouts(ms_a: MapState, ms_b: MapState):
+    """Friendly error when the two maps' static layouts differ (feature
+    slots N, obs fan-in P, descriptor width) — a mismatch would
+    otherwise die as a cryptic broadcast/scatter shape error deep in
+    vocab training or concatenation."""
+    probes = (
+        ("features per KF (Capacity.n_features)", ms_a.N, ms_b.N),
+        ("obs fan-in (Capacity.max_obs_per_mp)",
+         ms_a.mp_obs_kf.shape[1], ms_b.mp_obs_kf.shape[1]),
+        ("descriptor width", ms_a.kf_desc.shape[-1], ms_b.kf_desc.shape[-1]),
+    )
+    for name, a, b in probes:
+        if a != b:
+            raise ValueError(
+                f"map layouts differ in {name}: {a} vs {b} — both maps "
+                "must be built with the same Capacity feature layout"
+            )
 
 
 def _kf_bank(vocab, ms: MapState):
@@ -72,6 +92,7 @@ def find_cross_pair(ms_a: MapState, ms_b: MapState, vocab=None,
     union of both maps' descriptors when none is given (words must
     cover BOTH environments or the scores are meaningless).
     """
+    _check_layouts(ms_a, ms_b)
     if key is None:
         key = jax.random.PRNGKey(0)
     if vocab is None:
@@ -93,10 +114,9 @@ def find_cross_pair(ms_a: MapState, ms_b: MapState, vocab=None,
         )
     bank_a = _kf_bank(vocab, ms_a)                       # (Ka, W)
     bank_b = _kf_bank(vocab, ms_b)                       # (Kb, W)
-    # pairwise L1 BoW score (ScoringObject.h:76): s = 1 - 0.5*|va - vb|_1
-    scores = 1.0 - 0.5 * jnp.sum(
-        jnp.abs(bank_b[:, None, :] - bank_a[None, :, :]), axis=-1
-    )
+    # bow_score carries the all-zero-vector guard (an unmasked empty
+    # row scores 0.5 against ANY query — above every gate)
+    scores = jax.vmap(lambda v: vocab_mod.bow_score(bank_a, v))(bank_b)
     scores = jnp.where(
         ms_b.kf_valid[:, None] & ms_a.kf_valid[None, :], scores, -jnp.inf
     )
@@ -171,8 +191,7 @@ def concat_maps(ms_a: MapState, ms_b: MapState) -> MapState:
     feature edges) is offset accordingly. Raises ValueError when the
     union exceeds A's capacities (raise ``Capacity`` and rebuild, or
     prune first)."""
-    if ms_a.kf_xy.shape[1:] != ms_b.kf_xy.shape[1:]:
-        raise ValueError("concat_maps: feature layouts differ")
+    _check_layouts(ms_a, ms_b)
     na, nb = int(ms_a.n_kf), int(ms_b.n_kf)
     ma, mb = int(ms_a.n_mp), int(ms_b.n_mp)
     K, M = ms_a.K, ms_a.M
@@ -184,7 +203,7 @@ def concat_maps(ms_a: MapState, ms_b: MapState) -> MapState:
     F = ms_a.ftr_i.shape[0]
     i32 = jnp.int32
 
-    def cat_kf(xa, xb, fill=0):
+    def cat_kf(xa, xb):
         """Rows [na, na+nb) of the output take B's rows [0, nb)."""
         idx = jnp.arange(K)
         src = jnp.clip(idx - na, 0, ms_b.K - 1)
@@ -192,7 +211,7 @@ def concat_maps(ms_a: MapState, ms_b: MapState) -> MapState:
         shape = (K,) + (1,) * (xa.ndim - 1)
         return jnp.where(from_b.reshape(shape), xb[src], xa)
 
-    def cat_mp(xa, xb, fill=0):
+    def cat_mp(xa, xb):
         idx = jnp.arange(M)
         src = jnp.clip(idx - ma, 0, ms_b.M - 1)
         from_b = (idx >= ma) & (idx < ma + mb)
@@ -227,12 +246,17 @@ def concat_maps(ms_a: MapState, ms_b: MapState) -> MapState:
     ftr_valid = np.zeros(F, bool)
     row = 0
     for src_ms, off in ((ms_a, 0), (ms_b, na)):
-        vi = np.asarray(src_ms.ftr_valid)
-        for s in np.nonzero(vi)[0]:
-            ftr_i[row] = int(src_ms.ftr_i[s]) + off
-            ftr_j[row] = int(src_ms.ftr_j[s]) + off
-            ftr_meas[row] = np.asarray(src_ms.ftr_meas[s])
-            ftr_info[row] = np.asarray(src_ms.ftr_info[s])
+        # ONE host fetch per table (per-element int()/asarray() would be
+        # a device round-trip each — ~30 ms over a remote tunnel)
+        vi, si, sj, sm, sf = jax.device_get((
+            src_ms.ftr_valid, src_ms.ftr_i, src_ms.ftr_j,
+            src_ms.ftr_meas, src_ms.ftr_info,
+        ))
+        for s_ in np.nonzero(vi)[0]:
+            ftr_i[row] = si[s_] + off
+            ftr_j[row] = sj[s_] + off
+            ftr_meas[row] = sm[s_]
+            ftr_info[row] = sf[s_]
             ftr_valid[row] = True
             row += 1
 
@@ -303,52 +327,80 @@ def merge_maps(ms_a: MapState, ms_b: MapState, cfg: SystemConfig,
             f"gate {cfg.gm_dcl_min_score_best} — no overlap?"
         )
 
-    T = None
+    # Candidates are tried in score order; each must pass BOTH the
+    # alignment solve AND the LoopCloser's full verification gates
+    # (gm_vcl_*) on the concatenated map BEFORE anything is mutated —
+    # an unverified seam would fuse physically distinct landmarks and
+    # bake the error in with a global BA.
+    na = int(ms_a.n_kf)
     tried = []
     for ka, kb, score in pairs:
         T, n_align = align_transform(
             ms_a, ka, ms_b, kb, cfg,
             key=jax.random.fold_in(k2, ka * 131 + kb),
         )
-        if T is not None:
-            break
-        tried.append((ka, kb, n_align))
-    if T is None:
-        raise ValueError(
-            "merge_maps: every cross-map candidate failed geometric "
-            f"verification (pair, inliers): {tried}"
+        if T is None:
+            tried.append((ka, kb, f"{n_align} align inliers"))
+            continue
+        ms = concat_maps(ms_a, transform_map(ms_b, T))
+        kb_m = kb + na                  # B's seam keyframe, merged slots
+
+        match_idx, n_kp, n_mp_pairs, n_cur = verify_loop(
+            ms, jnp.asarray(kb_m), jnp.asarray(ka), k3,
+            n_trials=cfg.cap.ransac_trials,
         )
+        n_kp, n_mp_pairs, n_cur = map(
+            int, jax.device_get((n_kp, n_mp_pairs, n_cur))
+        )
+        if (
+            n_mp_pairs < cfg.gm_vcl_num_min_match_mp
+            or n_kp < cfg.gm_vcl_num_min_match_kp
+            or n_mp_pairs < cfg.gm_vcl_ratio_min_match_mp * max(n_cur, 1)
+        ):
+            tried.append(
+                (ka, kb, f"verify {n_kp} kp / {n_mp_pairs} mp")
+            )
+            continue
+        meas, cinfo, n_good, _good = build_loop_constraint(
+            ms, jnp.asarray(kb_m), jnp.asarray(ka), match_idx, cfg
+        )
+        n_good = int(n_good)
+        if n_good < cfg.gm_vcl_num_min_match_mp:
+            tried.append((ka, kb, f"constraint {n_good} good"))
+            continue
 
-    ms_b = transform_map(ms_b, T)
-    na = int(ms_a.n_kf)
-    ms = concat_maps(ms_a, ms_b)
-    kb_m = kb + na                      # B's seam keyframe, merged slots
+        # all gates passed: commit the weld — edge direction per
+        # ftr_meas's "j in i's frame" (build_loop_constraint's meas is
+        # "k in cand's frame" → i=cand, j=k, the LoopCloser's ordering)
+        ms = add_ftr_edge(
+            ms, jnp.asarray(ka), jnp.asarray(kb_m), meas, cinfo,
+            evict_if_full=True,  # the seam IS a verified closure
+        )
+        n_before = int(jnp.sum(ms.mp_valid))
+        ms = merge_loop_mps(
+            ms, jnp.asarray(kb_m), jnp.asarray(ka), match_idx
+        )
+        info = {
+            "pair": (ka, kb), "bow_score": score,
+            "align_inliers": n_align, "n_kp": n_kp,
+            "n_mp_pairs": n_mp_pairs, "vocab": vocab,
+            "mps_fused": n_before - int(jnp.sum(ms.mp_valid)),
+            "seam_edge_inliers": n_good,
+        }
+        if run_gba:
+            ms, gba_info = run_global_ba(ms, iters=cfg.global_iter)
+            info["gba_chi2"] = float(gba_info["chi2"])
+            if cfg.gm_joint_ba_iters > 0:
+                # the joint reprojection polish every in-map closure
+                # gets (the pose graph only spreads the single seam
+                # edge; the fused co-observations hold the seam)
+                ms, joint_info = run_global_ba_joint(
+                    ms, cfg, iters=cfg.gm_joint_ba_iters
+                )
+                info["joint_chi2"] = float(joint_info["chi2"])
+        return ms, info
 
-    # weld the seam with the standard loop machinery: verified matches,
-    # pose-only constraint edge, duplicate map-point fusion, global BA
-    match_idx, n_kp, n_mp_pairs, _ = verify_loop(
-        ms, jnp.asarray(kb_m), jnp.asarray(ka), k3,
-        n_trials=cfg.cap.ransac_trials,
+    raise ValueError(
+        "merge_maps: every cross-map candidate failed verification "
+        f"(pair, reason): {tried}"
     )
-    info = {
-        "pair": (ka, kb), "bow_score": score, "align_inliers": n_align,
-        "n_kp": int(n_kp), "n_mp_pairs": int(n_mp_pairs), "vocab": vocab,
-    }
-    meas, cinfo, n_good, _good = build_loop_constraint(
-        ms, jnp.asarray(kb_m), jnp.asarray(ka), match_idx, cfg
-    )
-    # edge direction: build_loop_constraint's meas is "k in cand's
-    # frame", and ftr_meas is defined as "j in i's frame" — so i=cand,
-    # j=k (the LoopCloser's own ordering)
-    ms = add_ftr_edge(
-        ms, jnp.asarray(ka), jnp.asarray(kb_m), meas, cinfo,
-        evict_if_full=True,      # the seam IS a verified closure
-    )
-    n_before = int(jnp.sum(ms.mp_valid))
-    ms = merge_loop_mps(ms, jnp.asarray(kb_m), jnp.asarray(ka), match_idx)
-    info["mps_fused"] = n_before - int(jnp.sum(ms.mp_valid))
-    info["seam_edge_inliers"] = int(n_good)
-    if run_gba:
-        ms, gba_info = run_global_ba(ms, iters=cfg.global_iter)
-        info["gba_chi2"] = float(gba_info["chi2"])
-    return ms, info

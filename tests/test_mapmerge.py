@@ -29,6 +29,9 @@ def _cfg():
         max_feature_num=128, max_level=2,
         min_frames_between_kf=2, max_frames_between_kf=5,
         local_iter=4,
+        # verification gates scaled to the 128-feature scene (the
+        # reference defaults 30/15 are calibrated for ~1000 features)
+        gm_vcl_num_min_match_kp=12, gm_vcl_num_min_match_mp=5,
         cap=Capacity(
             n_features=oc.n_slots, max_kfs=64, max_mps=2048,
             local_kfs=6, local_ref_kfs=6, local_mps=256,
