@@ -51,7 +51,7 @@ from .ops.camera import CameraModel
 from .solver.poseonly import solve_pose_only
 
 __all__ = ["find_cross_pair", "align_transform", "transform_map",
-           "concat_maps", "merge_maps"]
+           "concat_maps", "merge_maps", "merge_many"]
 
 
 def _check_layouts(ms_a: MapState, ms_b: MapState):
@@ -404,3 +404,29 @@ def merge_maps(ms_a: MapState, ms_b: MapState, cfg: SystemConfig,
         "merge_maps: every cross-map candidate failed verification "
         f"(pair, reason): {tried}"
     )
+
+
+def merge_many(maps, cfg: SystemConfig, key=None):
+    """Left-fold ``merge_maps`` over a list of maps (N-robot rendezvous).
+
+    Each step retrains the union vocabulary, so later maps score against
+    words covering everything merged so far. Returns (merged, infos) —
+    one info dict per fold step. Order matters only for the gauge (the
+    first map's frame wins); a map with no overlap against the running
+    union raises, identifying its position.
+    """
+    if len(maps) < 2:
+        raise ValueError("merge_many needs at least two maps")
+    if key is None:
+        key = jax.random.PRNGKey(7)
+    ms, infos = maps[0], []
+    for i, nxt in enumerate(maps[1:], start=1):
+        key, sub = jax.random.split(key)
+        try:
+            ms, info = merge_maps(ms, nxt, cfg, key=sub)
+        except ValueError as e:
+            raise ValueError(f"merge_many: map #{i} failed: {e}") from e
+        if i < len(maps) - 1:
+            info.pop("vocab", None)   # only the final union vocab is kept
+        infos.append(info)
+    return ms, infos

@@ -142,3 +142,23 @@ def test_transform_map_rigid():
         jnp.stack([se2.compose(T, p) for p in jnp.asarray(ms.kf_pose)[kv]])
     )
     np.testing.assert_allclose(got[:, :2], exp[:, :2], atol=1e-5)
+
+
+def test_merge_many_three_segments():
+    """Three robots cover thirds of the circuit (with overlaps);
+    merge_many folds them into one consistent map in robot 0's gauge."""
+    from se2lam_tpu.mapmerge import merge_many
+
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=400, room=10.0, seed=2)
+    n = 90
+    gt = np.asarray(world.circle_trajectory(n))
+    segs = [list(range(0, 40)), list(range(30, 70)), list(range(60, 90))]
+    maps = [_build_half(cfg, world, gt, s).ms for s in segs]
+    merged, infos = merge_many(maps, cfg)
+    assert len(infos) == 2
+    assert "vocab" in infos[-1] and "vocab" not in infos[0]
+    check_consistency(merged)
+    assert int(merged.n_kf) == sum(
+        int(jnp.sum(m.kf_valid)) for m in maps
+    ) - sum(i.get("kfs_dropped", 0) for i in infos)
