@@ -162,3 +162,31 @@ def test_merge_many_three_segments():
     assert int(merged.n_kf) == sum(
         int(jnp.sum(m.kf_valid)) for m in maps
     ) - sum(i.get("kfs_dropped", 0) for i in infos)
+
+
+def test_resume_on_merged_map(tmp_path):
+    """A merged map is a first-class map: save it with its union
+    vocabulary, resume a mapping session against it, and keep mapping
+    across the seam (relocalization + new keyframes landing on top of
+    both components)."""
+    from se2lam_tpu.io import save_map
+
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=400, room=10.0, seed=2)
+    n = 80
+    gt = np.asarray(world.circle_trajectory(n))
+    slam_a = _build_half(cfg, world, gt, list(range(0, 48)))
+    slam_b = _build_half(cfg, world, gt, list(range(40, 80)))
+    merged, info = merge_maps(slam_a.ms, slam_b.ms, cfg)
+    path = str(tmp_path / "merged")
+    save_map(path, merged, info["vocab"])
+
+    slam = SlamSystem.resume(cfg, path, enable_loops=False)
+    kf0 = slam.n_keyframes()
+    # a third robot enters in B's half and drives through the seam
+    for f in range(60, 80):
+        p = slam.process(world.render(gt[f]), np.asarray(gt[f], np.float32))
+        assert np.isfinite(p).all()
+    assert slam._ref_kf_host is not None, "resume never relocalized"
+    assert slam.n_keyframes() >= kf0, "keyframe bank shrank"
+    check_consistency(slam.ms)
