@@ -1,0 +1,92 @@
+"""Odometry-noise robustness sweep: how accuracy degrades as the wheel
+odometry degrades, and what vision + loop closing buy back.
+
+Runs the same multi-lap circuit at increasing odometry noise scales and
+reports, per scale: raw-odometry ATE (the drift floor), full-SLAM
+(loops + joint GBA) live and retro-corrected ATE, and closures fired.
+The interesting regime is HIGH noise — with near-perfect odometry the
+reference design trusts odometry by construction (the pose is always
+odometry-predicted) and vision only maintains the map.
+
+Reuses the drift-study configuration and runner (`study_drift.py`).
+
+Run on CPU:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+    python examples/study_noise.py --out artifacts/noise_study
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from study_drift import build_cfg, run_slam  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--laps", type=float, default=2.0)
+    ap.add_argument("--frames-per-lap", type=int, default=90)
+    ap.add_argument("--scales", type=float, nargs="+",
+                    default=[0.5, 1.0, 2.0, 4.0],
+                    help="multipliers on the base noise "
+                         "(0.012, 0.006, 0.006)")
+    ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--out", default="artifacts/noise_study")
+    args = ap.parse_args()
+
+    from se2lam_tpu.io import SyntheticWorld, ate_se2
+    from se2lam_tpu.ops import se2
+
+    cfg = build_cfg()
+    os.makedirs(args.out, exist_ok=True)
+    n = int(args.laps * args.frames_per_lap)
+    base = np.asarray([0.012, 0.006, 0.006])
+
+    rows = []
+    for scale in args.scales:
+        world = SyntheticWorld(cfg, n_landmarks=900, room=12.0,
+                               seed=args.seed)
+        gt = np.asarray(world.circle_trajectory(args.frames_per_lap))
+        gt = np.concatenate([gt] * int(np.ceil(args.laps)))[:n]
+
+        # noisy odometry: perturb the relative steps, integrate
+        import jax.numpy as jnp
+        rng = np.random.default_rng(args.seed + int(scale * 100))
+        odo = [gt[0].astype(np.float32)]
+        for i in range(1, n):
+            d = np.asarray(se2.minus(jnp.asarray(gt[i]),
+                                     jnp.asarray(gt[i - 1])))
+            d = d + rng.normal(0, base * scale)
+            odo.append(np.asarray(
+                se2.compose(jnp.asarray(odo[-1]),
+                            jnp.asarray(d, jnp.float32)), np.float32))
+        odo = np.asarray(odo)
+
+        ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
+        res, _ = run_slam(cfg, world, gt, odo, True,
+                          args.frames_per_lap)
+        row = {
+            "noise_scale": scale,
+            "ate_odo": round(float(ate_odo), 4),
+            "ate_slam_live": res["ate_live"],
+            "ate_slam_corrected": res["ate_corrected"],
+            "n_loops": res["n_loops"],
+            "n_kfs": res["n_kfs"],
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump({"laps": args.laps, "base_noise": base.tolist(),
+                   "rows": rows}, f, indent=1)
+    print("wrote", os.path.join(args.out, "results.json"))
+
+
+if __name__ == "__main__":
+    main()
