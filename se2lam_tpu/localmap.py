@@ -589,6 +589,39 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
 
 
 @jax.jit
+@jax.jit
+def recompute_covis(ms: MapState) -> MapState:
+    """Rebuild the WHOLE covisibility matrix from the inverse observation
+    tables (>30% shared map points, the add_keyframe criterion applied
+    pairwise). Insertion maintains covisibility incrementally; this full
+    recompute is for operations that rewire observations wholesale —
+    cross-map merging, where fused landmarks create seam covisibility no
+    insertion ever recorded. shared = OᵀO over the (M, K) observer
+    one-hot — one matmul, no per-pair loop."""
+    K, M = ms.K, ms.M
+    P = ms.mp_obs_kf.shape[1]
+    dtype = ms.kf_pose.dtype
+    obs_ok = (ms.mp_obs_kf >= 0) & ms.mp_valid[:, None]
+    # (M, K) observer one-hot via scatter (bounded fan-in P)
+    O = jnp.zeros((M, K), dtype).at[
+        jnp.arange(M)[:, None], jnp.clip(ms.mp_obs_kf, 0)
+    ].add(obs_ok.astype(dtype), mode="drop")
+    O = jnp.minimum(O, 1.0)
+    shared = jax.lax.dot_general(
+        O, O, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (K, K)
+    counts = jnp.diagonal(shared)
+    min_c = jnp.minimum(counts[:, None], counts[None, :])
+    ratio = shared / jnp.maximum(min_c, 1.0)
+    covis = (
+        (ratio > 0.3) & (shared > 0)
+        & ms.kf_valid[:, None] & ms.kf_valid[None, :]
+        & ~jnp.eye(K, dtype=bool)
+    )
+    return ms._replace(covis=covis)
+
+
 def compact_map(ms: MapState):
     """Renumber keyframe and map-point slots so all valid entries are
     contiguous from 0, freeing the tail for new insertions.

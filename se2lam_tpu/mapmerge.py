@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from . import vocab as vocab_mod
 from .config import SystemConfig
-from .localmap import compact_map
+from .localmap import compact_map, recompute_covis
 from .loopclose import (
     add_ftr_edge,
     build_loop_constraint,
@@ -380,6 +380,10 @@ def merge_maps(ms_a: MapState, ms_b: MapState, cfg: SystemConfig,
         ms = merge_loop_mps(
             ms, jnp.asarray(kb_m), jnp.asarray(ka), match_idx
         )
+        # fused landmarks create seam covisibility that no insertion
+        # ever recorded: rebuild the matrix from the observation tables
+        # so local-graph BFS and localization see across the seam
+        ms = recompute_covis(ms)
         info = {
             "pair": (ka, kb), "bow_score": score,
             "align_inliers": n_align, "n_kp": n_kp,

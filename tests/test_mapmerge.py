@@ -190,3 +190,35 @@ def test_resume_on_merged_map(tmp_path):
     assert slam._ref_kf_host is not None, "resume never relocalized"
     assert slam.n_keyframes() >= kf0, "keyframe bank shrank"
     check_consistency(slam.ms)
+
+
+def test_merge_with_loops_enabled_and_seam_covis():
+    """Merging maps that were built WITH loop closing (non-empty feature
+    edge tables in both) must carry every edge over, and the fused seam
+    must create cross-map covisibility (recompute_covis) so local-graph
+    BFS sees across it."""
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=400, room=10.0, seed=2)
+    n = 80
+    gt = np.asarray(world.circle_trajectory(n))
+
+    def build(frames):
+        slam = SlamSystem(cfg, enable_loops=True)
+        for i in frames:
+            slam.process(world.render(gt[i]),
+                         np.asarray(gt[i], np.float32))
+        return slam.ms
+
+    ms_a = build(list(range(0, 48)))
+    ms_b = build(list(range(40, 80)))
+    fa = int(jnp.sum(ms_a.ftr_valid))
+    fb = int(jnp.sum(ms_b.ftr_valid))
+
+    merged, info = merge_maps(ms_a, ms_b, cfg)
+    check_consistency(merged)
+    # every pre-existing edge survived, plus the seam edge
+    assert int(jnp.sum(merged.ftr_valid)) == fa + fb + 1
+    # covisibility spans the seam: some (A keyframe, B keyframe) pair
+    na = int(jnp.sum(ms_a.kf_valid))
+    cv = np.asarray(merged.covis)
+    assert cv[:na, na:].any(), "no cross-map covisibility after fusion"
