@@ -41,7 +41,6 @@ def main():
     args = ap.parse_args()
 
     from se2lam_tpu.io import SyntheticWorld, ate_se2
-    from se2lam_tpu.ops import se2
 
     cfg = build_cfg()
     os.makedirs(args.out, exist_ok=True)
@@ -55,18 +54,12 @@ def main():
         gt = np.asarray(world.circle_trajectory(args.frames_per_lap))
         gt = np.concatenate([gt] * int(np.ceil(args.laps)))[:n]
 
-        # noisy odometry: perturb the relative steps, integrate
-        import jax.numpy as jnp
-        rng = np.random.default_rng(args.seed + int(scale * 100))
-        odo = [gt[0].astype(np.float32)]
-        for i in range(1, n):
-            d = np.asarray(se2.minus(jnp.asarray(gt[i]),
-                                     jnp.asarray(gt[i - 1])))
-            d = d + rng.normal(0, base * scale)
-            odo.append(np.asarray(
-                se2.compose(jnp.asarray(odo[-1]),
-                            jnp.asarray(d, jnp.float32)), np.float32))
-        odo = np.asarray(odo)
+        # noisy odometry via the shared generator (one noise model for
+        # all studies — study_drift uses the same call)
+        odo = world.odometry(
+            gt, noise=tuple(base * scale),
+            seed=args.seed + int(scale * 100),
+        )
 
         ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
         res, _ = run_slam(cfg, world, gt, odo, True,

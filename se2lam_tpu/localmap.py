@@ -589,7 +589,6 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
 
 
 @jax.jit
-@jax.jit
 def recompute_covis(ms: MapState) -> MapState:
     """Rebuild the WHOLE covisibility matrix from the inverse observation
     tables (>30% shared map points, the add_keyframe criterion applied
@@ -597,9 +596,14 @@ def recompute_covis(ms: MapState) -> MapState:
     recompute is for operations that rewire observations wholesale —
     cross-map merging, where fused landmarks create seam covisibility no
     insertion ever recorded. shared = OᵀO over the (M, K) observer
-    one-hot — one matmul, no per-pair loop."""
+    one-hot — one matmul, no per-pair loop.
+
+    Counts come from the INVERSE observation table, whose fan-in is
+    bounded (Capacity.max_obs_per_mp): a point seen by more keyframes
+    than that undercounts here, making the ratio denominator slightly
+    small and the rebuilt graph marginally over-inclusive vs the
+    insertion-time forward-table counts — benign for a BFS seed graph."""
     K, M = ms.K, ms.M
-    P = ms.mp_obs_kf.shape[1]
     dtype = ms.kf_pose.dtype
     obs_ok = (ms.mp_obs_kf >= 0) & ms.mp_valid[:, None]
     # (M, K) observer one-hot via scatter (bounded fan-in P)
@@ -608,8 +612,7 @@ def recompute_covis(ms: MapState) -> MapState:
     ].add(obs_ok.astype(dtype), mode="drop")
     O = jnp.minimum(O, 1.0)
     shared = jax.lax.dot_general(
-        O, O, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        O, O, (((0,), (0,)), ((), ()))
     )                                               # (K, K)
     counts = jnp.diagonal(shared)
     min_c = jnp.minimum(counts[:, None], counts[None, :])
@@ -622,6 +625,7 @@ def recompute_covis(ms: MapState) -> MapState:
     return ms._replace(covis=covis)
 
 
+@jax.jit
 def compact_map(ms: MapState):
     """Renumber keyframe and map-point slots so all valid entries are
     contiguous from 0, freeing the tail for new insertions.
