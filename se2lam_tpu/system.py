@@ -522,9 +522,9 @@ class SlamSystem:
     def _remap_slots(self, kf_perm: np.ndarray, old_kf_pose: np.ndarray):
         """Apply a compaction permutation to every host-side slot
         reference: the tracking reference, the per-KF frame-id list, the
-        retro-correction anchors (anchors whose keyframe died are baked
-        to absolute poses at the keyframe's last estimate), the tracking
-        state, and the loop closer's BoW bank."""
+        retro-correction anchors (anchors whose keyframe died are
+        rigidly re-anchored onto the nearest surviving keyframe), the
+        tracking state, and the loop closer's BoW bank."""
         new_ref = int(kf_perm[self._ref_kf_host])
         assert new_ref >= 0, "protected tracking reference was compacted away"
         self._ref_kf_host = new_ref
