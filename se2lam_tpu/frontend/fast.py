@@ -5,13 +5,20 @@ extractor (src/ORBextractor.cpp:616-622). Instead of per-pixel branchy
 control flow, the segment test is evaluated for EVERY pixel at once with
 16 shifted copies of the image — a shape XLA fuses into a handful of
 vector ops; there is no data-dependent control flow at all.
+
+The contiguous-arc test uses log-doubling over the circular axis:
+``a_k[i] = AND of flags[i..i+k-1]`` built as a2 = f&rot1(f),
+a4 = a2&rot2(a2), a8 = a4&rot4(a4), a9 = a8&rot8(f) — 4 ANDs + 4 rolls
+instead of the naive 16 windows x 9-way AND (measured 0.51 → ~0.2
+ms/frame across the pyramid together with the shared-diff pairing
+below).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fast_score", "nms3x3"]
+__all__ = ["fast_score", "fast_score_pair", "nms3x3"]
 
 # Bresenham circle of radius 3, in circular order: (dx, dy)
 _CIRCLE = (
@@ -19,6 +26,38 @@ _CIRCLE = (
     (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
 )
 _ARC = 9  # FAST-9: at least 9 contiguous circle pixels brighter/darker
+
+
+def _circle_diffs(img):
+    """(16, H, W) intensity differences along the Bresenham circle."""
+    shifted = jnp.stack(
+        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dx, dy in _CIRCLE]
+    )  # shifted[i][y,x] = img[y+dy, x+dx]
+    return shifted - img[None]
+
+
+def _side_score(signed_diff, threshold):
+    """(corner?, margin) for one polarity at one threshold.
+
+    signed_diff: (16, H, W), positive where the circle pixel is on this
+    polarity's side of the center.
+    """
+    flags = signed_diff > threshold
+    # run-length >= 9 via log-doubling on the circular axis
+    a2 = flags & jnp.roll(flags, -1, axis=0)
+    a4 = a2 & jnp.roll(a2, -2, axis=0)
+    a8 = a4 & jnp.roll(a4, -4, axis=0)
+    a9 = a8 & jnp.roll(flags, -8, axis=0)
+    is_corner = jnp.any(a9, axis=0)
+    margin = jnp.sum(jnp.maximum(signed_diff - threshold, 0.0), axis=0)
+    return is_corner, margin
+
+
+def _score_from_diff(diff, threshold):
+    bright_c, bright_m = _side_score(diff, threshold)
+    dark_c, dark_m = _side_score(-diff, threshold)
+    score = jnp.maximum(bright_m, dark_m)
+    return jnp.where(bright_c | dark_c, score, 0.0)
 
 
 def fast_score(img, threshold: float):
@@ -31,32 +70,18 @@ def fast_score(img, threshold: float):
     Border pixels (3 px) are rolled wrap-around garbage — callers mask a
     ≥16 px border anyway (EDGE_THRESHOLD, src/ORBextractor.cpp:83).
     """
-    shifted = jnp.stack(
-        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dx, dy in _CIRCLE]
-    )  # (16, H, W); shifted[i][y,x] = img[y+dy, x+dx]
-    diff = shifted - img[None]
-    bright = diff > threshold
-    dark = diff < -threshold
+    return _score_from_diff(_circle_diffs(img), threshold)
 
-    def has_arc(flags):
-        # contiguous run of >= _ARC among 16 circular positions
-        wrapped = jnp.concatenate([flags, flags[: _ARC - 1]], axis=0)
-        runs = jnp.stack(
-            [
-                jnp.all(
-                    jax.lax.dynamic_slice_in_dim(wrapped, s, _ARC, axis=0),
-                    axis=0,
-                )
-                for s in range(16)
-            ]
-        )
-        return jnp.any(runs, axis=0)
 
-    is_corner = has_arc(bright) | has_arc(dark)
-    margin_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
-    margin_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
-    score = jnp.maximum(margin_b, margin_d)
-    return jnp.where(is_corner, score, 0.0)
+def fast_score_pair(img, t_high: float, t_low: float):
+    """(score_high, score_low) sharing one circle-difference stack.
+
+    The extractor evaluates FAST at the high threshold and the fallback
+    low threshold on every level (src/ORBextractor.cpp:618-622); sharing
+    the 16 shifted copies + diffs halves that part of the work.
+    """
+    diff = _circle_diffs(img)
+    return _score_from_diff(diff, t_high), _score_from_diff(diff, t_low)
 
 
 def nms3x3(score):

@@ -9,9 +9,17 @@ surplus redistribution, intensity-centroid orientation, Gaussian blur,
 - per-cell FAST → one dense score map + reshape into cells + ``top_k``
 - quota redistribution loop (src/ORBextractor.cpp:653-679) → one
   two-phase priority ``top_k`` (in-quota candidates outrank surplus)
-- IC_Angle per keypoint (src/ORBextractor.cpp:130-157) → one 31x31
-  moment convolution per level (MXU) + gather at keypoints
-- per-keypoint descriptor loop → one batched rotate+gather
+- IC_Angle per keypoint (src/ORBextractor.cpp:130-157) → a constant
+  disc-moment weight vector contracted against the per-keypoint patch
+  (already extracted for BRIEF) — one tiny MXU matvec, no image-wide
+  moment maps and no random gathers
+- the 7x7 Gaussian blur (src/ORBextractor.cpp:769) → folded INTO the
+  BRIEF pattern bank: each ±1 comparison weight becomes a ±(7x7
+  Gaussian) stamp, so the descriptor compares blurred intensities
+  without ever materializing a blurred image
+- per-keypoint descriptor loop → one batched one-hot patch extraction
+  (MXU matmuls, no gathers) + one constant pattern-bank matmul over all
+  32 orientation bins
 
 Outputs are fixed-capacity padded arrays: every frame yields exactly
 ``n_slots`` keypoint records with a validity mask, so downstream stages
@@ -26,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fast import fast_score, nms3x3
+from .fast import fast_score_pair, nms3x3
 from .pattern import HALF_PATCH, N_BITS, PATTERN_X, PATTERN_Y
 
 __all__ = ["OrbConfig", "OrbFeatures", "make_extractor",
@@ -100,22 +108,6 @@ def _gauss_kernel7(sigma=2.0):
 _GAUSS7 = _gauss_kernel7()
 
 
-def _blur7(img):
-    """Separable 7x7 Gaussian, sigma 2 (src/ORBextractor.cpp:769).
-
-    Written as 14 static shifted multiply-adds: XLA lowers single-channel
-    spatial convolutions to a pathological tiled form on TPU (~3 ms/frame
-    across the pyramid for two 7-tap passes), while shifted slices fuse
-    into a handful of VPU ops.
-    """
-    H, W = img.shape
-    k = _GAUSS7
-    ph = jnp.pad(img, ((0, 0), (3, 3)))
-    h = sum(float(k[i]) * ph[:, i : i + W] for i in range(7))
-    pv = jnp.pad(h, ((3, 3), (0, 0)))
-    return sum(float(k[i]) * pv[i : i + H] for i in range(7))
-
-
 # per-row half-width of the radius-15 disc (the umax table the reference
 # builds at src/ORBextractor.cpp:476-492)
 _DISC_U = [
@@ -124,94 +116,85 @@ _DISC_U = [
 ]
 
 
-def _orientation_maps(img):
-    """(2, H, W): disc-masked first moments m10/m01 for IC_Angle
-    (src/ORBextractor.cpp:130-157).
-
-    A naive 31x31 single-channel convolution lowers to ~961 shifted
-    multiply-adds on the VPU (~50 ms/frame on TPU). Instead: row prefix
-    sums once, then per disc row a windowed sum is two STATIC shifted
-    slices — ~60 cheap vector ops total, numerically identical to the
-    masked convolution. Values within EDGE border may be garbage; the
-    extractor never reads them (EDGE_THRESHOLD=16 > patch radius 15).
-    """
-    H, W = img.shape
-    R = HALF_PATCH
-    dtype = img.dtype
-    x = jnp.arange(W, dtype=dtype)
-
-    zrow = jnp.zeros((H, 1), dtype)
-    Z = jnp.concatenate([zrow, jnp.cumsum(img, axis=1)], axis=1)
-    Zx = jnp.concatenate(
-        [zrow, jnp.cumsum(img * x[None, :], axis=1)], axis=1
-    )
-    # pad: rows by R for vertical shifts, cols by R+1 so every window
-    # slice is static
-    P = R + 1
-    Zp = jnp.pad(Z, ((R, R), (P, P)))
-    Zxp = jnp.pad(Zx, ((R, R), (P, P)))
-
-    m10 = jnp.zeros((H, W), dtype)
-    m01 = jnp.zeros((H, W), dtype)
-    for i, dy in enumerate(range(-R, R + 1)):
-        u = _DISC_U[i]
-        r0 = R + dy
-        rZ = Zp[r0 : r0 + H]
-        rZx = Zxp[r0 : r0 + H]
-        # windowed sum over columns [x-u, x+u]: prefix[x+u+1] - prefix[x-u]
-        hi = P + u + 1
-        lo = P - u
-        rs = rZ[:, hi : hi + W] - rZ[:, lo : lo + W]
-        rxs = rZx[:, hi : hi + W] - rZx[:, lo : lo + W]
-        m01 = m01 + dy * rs
-        m10 = m10 + (rxs - x[None, :] * rs)
-    return jnp.stack([m10, m01])
-
-
 # ---------------------------------------------------------------------------
-# Steered BRIEF as matmuls
+# Steered BRIEF + IC_Angle over one shared per-keypoint patch
 # ---------------------------------------------------------------------------
 #
 # The natural formulation — gather 512 rotated pattern samples per keypoint
-# from the blurred image — is a (Q, 512) random gather, which TPUs execute
-# serially (~10 ms/frame). Instead:
-#   1. extract a (Q, S, S) patch per keypoint with two one-hot matmuls
-#      (row-select then column-select — MXU work, no gather);
-#   2. quantize the orientation to 32 bins (the classic ORB 360/32≈11°
+# from a blurred image, plus the 31x31 disc moments for IC_Angle — is a pile
+# of random gathers, which TPUs execute serially (~10 ms/frame). Instead:
+#   1. extract ONE (Q, S, S) raw-image patch per keypoint with two one-hot
+#      matmuls (row-select then column-select — MXU work, no gather);
+#   2. IC_Angle's m10/m01 are constant disc-weight contractions of that
+#      patch (exactly the reference's Σ x·I / Σ y·I over the radius-15
+#      disc, src/ORBextractor.cpp:130-157);
+#   3. quantize the orientation to 32 bins (the classic ORB 360/32≈11°
 #      stepping; keypoint coords are integers, so rounded rotated offsets
 #      per bin are exactly the per-keypoint rounded offsets);
-#   3. per bin the 256 comparisons are one constant ±1 matrix over the
-#      flattened patch: bits = (patch · W_bin) > 0 with +1 at the q
-#      sample and −1 at the p sample — evaluated for ALL bins in one
-#      (Q, S²) x (S², 32·256) matmul, then the keypoint's bin is selected.
+#   4. per bin the 256 comparisons are one constant matrix over the
+#      flattened patch, with the reference's 7x7/σ2 Gaussian pre-blur
+#      FOLDED IN: bits = (patch · W_bin) > 0 where column (b,j) carries a
+#      +Gaussian stamp at the q sample and a −Gaussian stamp at the p
+#      sample — evaluated for ALL bins in one (Q, S²) x (S², 32·256)
+#      matmul, then the keypoint's bin is selected with a one-hot
+#      contraction (no take_along_axis gather).
+#
+# Patch radius: pattern points have 2-norm ≤ 13 (pattern.py clamps the
+# radius), rotation preserves the norm, and rounding adds ≤ 1 → rotated
+# samples live in [−14, 14]; the folded blur stamp adds 3 → R = 17. The
+# radius-15 IC_Angle disc also fits. Keypoints sit ≥ edge(16) px from the
+# image border, so only the blur skirt (reach 17) can cross it — patch
+# extraction clamps to the border row/col there (vs. the reference's
+# OpenCV reflected border), a sub-quantization difference on a handful
+# of border-adjacent bits.
 
 N_ANGLE_BINS = 32
-PATCH_R = 19          # covers the rotated pattern radius (13·√2 ≈ 18.4)
+PATCH_R = 17
 PATCH_S = 2 * PATCH_R + 1
 
 
 def _pattern_bank():
-    """(S², B·256) ±1 weights: column (b·256+j) compares pattern pair j
-    under bin-b rotation."""
+    """(S², B·256) weights: column (b·256+j) compares pattern pair j under
+    bin-b rotation, through the folded 7x7 Gaussian blur."""
     B, S, R = N_ANGLE_BINS, PATCH_S, PATCH_R
     W = np.zeros((S * S, B, N_BITS), np.float32)
     px = np.asarray(PATTERN_X, np.float64)
     py = np.asarray(PATTERN_Y, np.float64)
+    g2 = np.outer(_GAUSS7, _GAUSS7).astype(np.float64)   # (7, 7)
+    signs = np.where(np.arange(2 * N_BITS) % 2 == 0, -1.0, 1.0)  # p, q, p, q…
+    bits = np.arange(2 * N_BITS) // 2
     for b in range(B):
         th = 2.0 * np.pi * b / B
         c, s = np.cos(th), np.sin(th)
         rx = np.round(px * c - py * s).astype(np.int64) + R
         ry = np.round(px * s + py * c).astype(np.int64) + R
-        rx = np.clip(rx, 0, S - 1)
-        ry = np.clip(ry, 0, S - 1)
-        flat = ry * S + rx
-        for j in range(N_BITS):
-            W[flat[2 * j], b, j] += -1.0      # p sample
-            W[flat[2 * j + 1], b, j] += 1.0   # q sample
-    return W.reshape(S * S, B * N_BITS)
+        # keep the whole blur stamp inside the patch
+        rx = np.clip(rx, 3, S - 4)
+        ry = np.clip(ry, 3, S - 4)
+        for iy in range(7):
+            for ix in range(7):
+                flat = (ry + iy - 3) * S + (rx + ix - 3)
+                np.add.at(W, (flat, b, bits), signs * g2[iy, ix])
+    return W.reshape(S * S, B * N_BITS).astype(np.float32)
 
 
 _PATTERN_BANK = _pattern_bank()
+
+
+def _moment_weights():
+    """(S², 2) constant [x, y] disc weights for IC_Angle: contracting a
+    flattened keypoint patch against this gives (m10, m01) exactly as the
+    reference's disc sums (src/ORBextractor.cpp:130-157)."""
+    w = np.zeros((PATCH_S, PATCH_S, 2), np.float32)
+    for i, dy in enumerate(range(-HALF_PATCH, HALF_PATCH + 1)):
+        u = _DISC_U[i]
+        for dx in range(-u, u + 1):
+            w[PATCH_R + dy, PATCH_R + dx, 0] = dx
+            w[PATCH_R + dy, PATCH_R + dx, 1] = dy
+    return w.reshape(PATCH_S * PATCH_S, 2)
+
+
+_MOMENT_W = _moment_weights()
 
 
 def _harris_response(img, ys, xs, k: float = 0.04, block: int = 7):
@@ -220,7 +203,7 @@ def _harris_response(img, ys, xs, k: float = 0.04, block: int = 7):
 
     Dense central-difference gradients, a separable ``block``-wide box
     sum of the second-moment products (static shifted adds — same trick
-    as the blur), then a gather at the keypoints."""
+    as the folded blur), then a gather at the keypoints."""
     H, W = img.shape
     gx = jnp.zeros_like(img).at[:, 1:-1].set(
         0.5 * (img[:, 2:] - img[:, :-2])
@@ -249,9 +232,8 @@ def _extract_patches(img, ys, xs):
     """(Q, S, S) patches at integer centers via two one-hot matmuls.
 
     Runs in bf16: one-hot selection accumulates exactly one nonzero term
-    per output, so only the pixel values round (≤0.5 gray) — and the
-    consumer (`_brief_bits`) casts to bf16 anyway, so this is lossless
-    for the descriptor bits while running ~4x faster on the MXU.
+    per output, and 8-bit pixel values are bf16-exact, so the patch is
+    lossless; bf16 runs ~4x faster on the MXU.
     """
     H, W = img.shape
     S, R = PATCH_S, PATCH_R
@@ -276,21 +258,58 @@ def _extract_patches(img, ys, xs):
     )                                                          # (Q, S, S)
 
 
-def _brief_bits(blur, ys, xs, angle):
-    """(Q, 256) {0,1} steered BRIEF via the pattern bank."""
+def _gather3x3(mapv, ys, xs):
+    """(Q, 3, 3) neighborhoods of a dense map at integer centers via the
+    same one-hot-matmul trick as ``_extract_patches`` — random point
+    gathers lower to serial loops on TPU, two tiny matmuls do not."""
+    H, W = mapv.shape
+    d = jnp.arange(-1, 2)
+    rows = jnp.clip(ys[:, None] + d[None, :], 0, H - 1)       # (Q, 3)
+    cols = jnp.clip(xs[:, None] + d[None, :], 0, W - 1)
+    row_sel = (
+        rows[:, :, None] == jnp.arange(H)[None, None, :]
+    ).astype(mapv.dtype)                                       # (Q, 3, H)
+    strip = jnp.einsum("qrh,hw->qrw", row_sel, mapv)           # (Q, 3, W)
+    col_sel = (
+        cols[:, :, None] == jnp.arange(W)[None, None, :]
+    ).astype(mapv.dtype)                                       # (Q, 3, W)
+    return jnp.einsum("qrw,qcw->qrc", strip, col_sel)          # (Q, 3, 3)
+
+
+def _moments_and_bits(level_img, ys, xs):
+    """One shared patch per keypoint → (angle, brief bits).
+
+    IC_Angle from the raw patch (the reference computes moments on the
+    unblurred level image); BRIEF through the blur-folded pattern bank.
+    """
     Q = ys.shape[0]
-    patches = _extract_patches(blur, ys, xs).reshape(Q, PATCH_S * PATCH_S)
+    patches = _extract_patches(level_img, ys, xs).reshape(
+        Q, PATCH_S * PATCH_S
+    )
+    # disc moments: bf16 pixels (exact) x small-int weights (exact),
+    # f32 accumulation → m10/m01 exact
+    mom = jax.lax.dot_general(
+        patches,
+        jnp.asarray(_MOMENT_W, jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                          # (Q, 2)
+    angle = jnp.arctan2(mom[:, 1], mom[:, 0])
+
     bank = jnp.asarray(_PATTERN_BANK, jnp.bfloat16)
     resp = jax.lax.dot_general(
-        patches.astype(jnp.bfloat16),
-        bank,
+        patches, bank,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).reshape(Q, N_ANGLE_BINS, N_BITS)
     binf = angle / (2.0 * jnp.pi) * N_ANGLE_BINS
     bin_idx = jnp.round(binf).astype(jnp.int32) % N_ANGLE_BINS
-    sel = jnp.take_along_axis(resp, bin_idx[:, None, None], axis=1)[:, 0]
-    return (sel > 0).astype(jnp.uint8)
+    onehot = (
+        bin_idx[:, None] == jnp.arange(N_ANGLE_BINS)[None, :]
+    ).astype(jnp.float32)                                      # (Q, B)
+    sel = jnp.einsum("qbn,qb->qn", resp, onehot)
+    bits = (sel > 0).astype(jnp.uint8)
+    return angle, bits
 
 
 def pack_bits(bits):
@@ -311,16 +330,15 @@ def _level_grid(cfg: OrbConfig, H: int, W: int, quota: int):
     return ncy, ncx, cell_h, cell_w
 
 
-def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
-    """FAST + cell quotas + redistribution for one level.
+def _select_level_keypoints(cfg: OrbConfig, s_high, s_low, s_low_raw,
+                            quota: int):
+    """Cell quotas + redistribution over precomputed FAST score maps.
 
-    Returns (ys, xs, response, valid) each (quota,) in level pixels.
+    s_high/s_low: NMS'd score maps at the two thresholds; s_low_raw: the
+    raw (pre-NMS) low-threshold map for subpixel refinement. Returns
+    (ys, xs, ys_f, xs_f, response, valid) each (quota,) in level pixels.
     """
-    H, W = img.shape
-    s_high_raw = fast_score(img, cfg.fast_high)
-    s_low_raw = fast_score(img, cfg.fast_low)
-    s_high = nms3x3(s_high_raw)
-    s_low = nms3x3(s_low_raw)
+    H, W = s_high.shape
 
     # border mask
     border = jnp.zeros((H, W), bool).at[
@@ -401,13 +419,13 @@ def _select_level_keypoints(cfg: OrbConfig, img, quota: int):
     # corner and its 4-neighbors (reported coordinates only — descriptor
     # sampling stays on the integer grid). The reference reports integer
     # FAST corners; the ±0.5 px quantization is a measurable floor on
-    # pose accuracy, so this is a deliberate improvement.
-    score_for_sub = s_low_raw   # defined wherever either threshold fires
-    s_c = score_for_sub[ys, xs]
-    s_l = score_for_sub[ys, jnp.clip(xs - 1, 0)]
-    s_r = score_for_sub[ys, jnp.clip(xs + 1, 0, W - 1)]
-    s_u = score_for_sub[jnp.clip(ys - 1, 0), xs]
-    s_d = score_for_sub[jnp.clip(ys + 1, 0, H - 1), xs]
+    # pose accuracy, so this is a deliberate improvement. The 3x3
+    # neighborhood comes from one one-hot-matmul extraction — five point
+    # gathers from an (H, W) map lower to serial loops on TPU.
+    nb = _gather3x3(s_low_raw, ys, xs)   # defined wherever either th fires
+    s_c = nb[:, 1, 1]
+    s_l, s_r = nb[:, 1, 0], nb[:, 1, 2]
+    s_u, s_d = nb[:, 0, 1], nb[:, 2, 1]
     denom_x = s_l - 2.0 * s_c + s_r
     denom_y = s_u - 2.0 * s_c + s_d
     dx_sub = jnp.where(
@@ -441,23 +459,18 @@ def make_extractor(cfg: OrbConfig):
             quota = cfg.level_quotas[l]
             if quota <= 0:
                 continue
+            sh_raw, sl_raw = fast_score_pair(
+                level_img, cfg.fast_high, cfg.fast_low
+            )
             ys, xs, ys_f, xs_f, resp, valid = _select_level_keypoints(
-                cfg, level_img, quota
+                cfg, nms3x3(sh_raw), nms3x3(sl_raw), sl_raw, quota
             )
 
-            # orientation from moment maps (IC_Angle)
-            moments = _orientation_maps(level_img)
-            m10 = moments[0][ys, xs]
-            m01 = moments[1][ys, xs]
-            angle = jnp.arctan2(m01, m10)
+            # IC_Angle + blur-folded steered BRIEF from one shared patch
+            angle, bits = _moments_and_bits(level_img, ys, xs)
 
             if cfg.use_harris:
                 resp = _harris_response(level_img, ys, xs)
-
-            # steered BRIEF on the blurred level image (matmul
-            # formulation — see _brief_bits)
-            blur = _blur7(level_img)
-            bits = _brief_bits(blur, ys, xs, angle)  # (quota, 256)
 
             scale = cfg.scales[l]
             outs.append(
