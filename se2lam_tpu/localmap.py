@@ -106,6 +106,20 @@ def _append_obs(ms: MapState, mp_idx, kf, feat_idx, active):
     ), ok
 
 
+def _fw_mask_from_inverse(K, N, mp_obs_kf, mp_obs_feat, mp_mask):
+    """(K, N) bool: forward-table entries whose map point is in
+    ``mp_mask`` — equivalent to ``mp_mask[clip(kf_obs_mp, 0)] &
+    (kf_obs_mp >= 0)`` but built by SCATTERING the bounded-fan-in inverse
+    observation lists: the (K·N)-element random gather from an (M,)
+    table measures ~0.7 ms on a v5e while the (M·P)-entry scatter is
+    ~free (round-3 microbench). Exact because the observation tables are
+    bidirectionally consistent (test_prune.check_consistency)."""
+    sel = (mp_obs_kf >= 0) & mp_mask[:, None]
+    rows = jnp.where(sel, mp_obs_kf, K)
+    cols = jnp.clip(mp_obs_feat, 0)
+    return jnp.zeros((K, N), bool).at[rows, cols].set(True, mode="drop")
+
+
 def _octave_dist_gates(octave, dist, scale_factor, n_levels):
     """min/max view-distance gates from the creation octave
     (MapPoint::updateMainKFandDescriptor, src/MapPoint.cpp:276-289)."""
@@ -343,9 +357,14 @@ def add_keyframe(
         jnp.where(has_obs, obs_row, M)
     ].set(True, mode="drop")
     obs_all = ms.kf_obs_mp                         # (K, N)
-    shared = jnp.sum(
-        seen_new[jnp.clip(obs_all, 0)] & (obs_all >= 0), axis=1
-    )                                              # (K,)
+    # per-KF count of forward entries at seen_new MPs, via the INVERSE
+    # lists (a (K,N) gather from (M,) costs ~0.7 ms on TPU; this
+    # (M·P,)-entry scatter-count is ~free, and equal by the table
+    # consistency invariant — each (kf, feat) slot appears once)
+    cnt_sel = (ms.mp_obs_kf >= 0) & seen_new[:, None]
+    shared = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(cnt_sel, ms.mp_obs_kf, K).reshape(-1)
+    ].add(1, mode="drop")                          # (K,)
     count_other = jnp.sum(obs_all >= 0, axis=1)
     count_new = jnp.sum(has_obs.astype(jnp.int32))
     ratio = shared.astype(dtype) / jnp.maximum(
@@ -375,11 +394,12 @@ def add_keyframe(
     )
     # unlink culled MPs from every keyframe's forward table so the
     # feature slots can mint replacements (MapPoint::setNull semantics)
-    fw = ms.kf_obs_mp
-    fw_stale = (fw >= 0) & stale[jnp.clip(fw, 0)]
+    fw_stale = _fw_mask_from_inverse(
+        K, N, ms.mp_obs_kf, ms.mp_obs_feat, stale
+    )
     ms = ms._replace(
         mp_valid=ms.mp_valid & ~stale,
-        kf_obs_mp=jnp.where(fw_stale, -1, fw),
+        kf_obs_mp=jnp.where(fw_stale, -1, ms.kf_obs_mp),
     )
     ms = ms._replace(n_kf=ms.n_kf + 1)
 
@@ -421,13 +441,19 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
     K, M, N = ms.K, ms.M, ms.N
     P = ms.mp_obs_kf.shape[1]
 
-    # per-KF redundancy score
+    # per-KF redundancy score: count of observations whose MP has ≥3
+    # total observers (≥2 others + itself). Counted from the INVERSE
+    # lists — equal to the forward-table count by the consistency
+    # invariant, and the (M·P,)-entry scatter-count is ~free where the
+    # (K,N)-from-(M,) gather costs ~0.7 ms on TPU (round-3 microbench)
     obs = ms.kf_obs_mp                               # (K, N)
     has = obs >= 0
-    n_obs_mp = ms.mp_n_obs[jnp.clip(obs, 0)]         # (K, N) total observers
-    well_seen = has & (n_obs_mp >= 3)                # ≥2 others + itself
     n_mp_kf = jnp.sum(has, axis=1)
-    ratio = jnp.sum(well_seen, axis=1) / jnp.maximum(n_mp_kf, 1)
+    ws_sel = (ms.mp_obs_kf >= 0) & (ms.mp_n_obs >= 3)[:, None]
+    well_count = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(ws_sel, ms.mp_obs_kf, K).reshape(-1)
+    ].add(1, mode="drop")
+    ratio = well_count / jnp.maximum(n_mp_kf, 1)
 
     # must be interior to the odometry chain and not the current/first KF
     has_next = ms.kf_pre_next >= 0
@@ -531,11 +557,16 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
 
     # clear surviving keyframes' forward pointers at dead MPs
     # (the reference's MapPoint::setNull unlinks bidirectionally,
-    # src/MapPoint.cpp; without this the dead slot blocks re-minting)
+    # src/MapPoint.cpp; without this the dead slot blocks re-minting).
+    # A dead MP's remaining forward entries are exactly its compacted
+    # inverse list (the pruned KF's entry is already out of it, and that
+    # row is wiped below) — scatter those instead of gathering (K,N)
     mp_valid_new = ms.mp_valid & alive
-    obs_fw = ms.kf_obs_mp
-    fw_ok = mp_valid_new[jnp.clip(obs_fw, 0)] | (obs_fw < 0)
-    kf_obs_clean = jnp.where(fw_ok, obs_fw, -1)
+    newly_dead = ms.mp_valid & ~alive
+    dead_fw = _fw_mask_from_inverse(
+        K, N, obs_kf_new, obs_ft_new, newly_dead
+    )
+    kf_obs_clean = jnp.where(dead_fw, -1, ms.kf_obs_mp)
 
     pruned = MapState(
         kf_pose=ms.kf_pose,

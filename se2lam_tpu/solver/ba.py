@@ -88,8 +88,14 @@ def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
     """Residuals + weighted Jacobian blocks for all reprojection edges."""
     p = prob.poses[prob.obs_kf]
     x = prob.points[prob.obs_mp]
-    r, Jp, Jx = jax.vmap(
-        lambda pp, xx, uu: factors.se2xyz_residual_jac(pp, xx, uu, cam, Tcb)
+    # depth computed inside the same vmap body as the Jacobians so XLA
+    # CSEs the shared camera-frame transform (a separate _obs_depth_ok
+    # pass re-gathered poses/points per iteration)
+    r, Jp, Jx, z = jax.vmap(
+        lambda pp, xx, uu: (
+            *factors.se2xyz_residual_jac(pp, xx, uu, cam, Tcb),
+            factors.se2xyz_depth(pp, xx, Tcb),
+        )
     )(p, x, prob.obs_uv)
 
     # chi2 with the edge's own information
@@ -101,9 +107,7 @@ def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
     # THE CURRENT STATE (obs_valid is fixed at build time, but LM steps
     # move poses/points): _safe_z clamps such depths to ±1e-4, whose
     # ~fx/z² Jacobians would otherwise swamp the f32 Hessian rows
-    w = jnp.where(
-        prob.obs_valid & _obs_depth_ok(prob, Tcb), w_huber, 0.0
-    )
+    w = jnp.where(prob.obs_valid & (z > 1e-3), w_huber, 0.0)
     W = prob.obs_info * w[:, None, None]
     return r, Jp, Jx, W, chi2
 
@@ -116,13 +120,16 @@ def _obs_blocks(prob: BAProblem, cam: CameraModel, Tcb, huber_delta):
 _CHI2_CAP = 1e6
 
 
-def _obs_depth_ok(prob: BAProblem, Tcb):
-    """Per-observation gate: point strictly in front of its camera at the
-    problem's current state (the statistic _obs_blocks zero-weights on)."""
-    z = jax.vmap(
-        lambda pp, xx: factors.se2xyz_depth(pp, xx, Tcb)
-    )(prob.poses[prob.obs_kf], prob.points[prob.obs_mp])
-    return z > 1e-3
+def _obs_residual_depth(prob: BAProblem, cam: CameraModel, Tcb):
+    """(residual, depth) per observation — the Jacobian-free evaluation
+    for chi2/accept tests (the Jacobian path costs ~3.5x as much device
+    time per LM iteration; round-3 microbench)."""
+    return jax.vmap(
+        lambda pp, xx, uu: (
+            factors.se2xyz_residual(pp, xx, uu, cam, Tcb),
+            factors.se2xyz_depth(pp, xx, Tcb),
+        )
+    )(prob.poses[prob.obs_kf], prob.points[prob.obs_mp], prob.obs_uv)
 
 
 def _edge_blocks(prob: BAProblem):
@@ -140,8 +147,8 @@ def obs_chi2(prob: BAProblem, cam: CameraModel, Tcb):
     """Per-observation chi2 at the problem's current state — the
     removeOutlierChi2 statistic (src/LocalMapper.cpp:172-230), used to
     demote stale/mismatched observations before a full-map joint solve."""
-    _, _, _, _, chi_o = _obs_blocks(prob, cam, Tcb, jnp.inf)
-    return chi_o
+    r_o, _ = _obs_residual_depth(prob, cam, Tcb)
+    return jnp.einsum("oi,oij,oj->o", r_o, prob.obs_info, r_o)
 
 
 def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
@@ -154,11 +161,18 @@ def ba_chi2(prob: BAProblem, cam: CameraModel, Tcb, huber_delta=jnp.inf):
     the robustified active chi2 too). Behind-camera observations carry
     zero weight in the step (_obs_blocks), so here their chi2 is pinned
     at _CHI2_CAP: a state-independent term that cancels in the accept
-    comparison rather than vetoing steps the solver cannot descend."""
-    r_o, _, _, _, chi_o = _obs_blocks(prob, cam, Tcb, jnp.inf)
-    _, _, _, _, chi_e = _edge_blocks(prob)
+    comparison rather than vetoing steps the solver cannot descend.
+
+    Jacobian-free: this runs once per LM iteration as the accept test,
+    and the Jacobian evaluation is ~3.5x the residual's device cost."""
+    r_o, z_o = _obs_residual_depth(prob, cam, Tcb)
+    chi_o = jnp.einsum("oi,oij,oj->o", r_o, prob.obs_info, r_o)
+    r_e = jax.vmap(factors.pre_se2_residual)(
+        prob.poses[prob.edge_i], prob.poses[prob.edge_j], prob.edge_meas
+    )
+    chi_e = jnp.einsum("ei,eij,ej->e", r_e, prob.edge_info, r_e)
     chi_c = jnp.where(
-        _obs_depth_ok(prob, Tcb), jnp.minimum(chi_o, _CHI2_CAP), _CHI2_CAP
+        z_o > 1e-3, jnp.minimum(chi_o, _CHI2_CAP), _CHI2_CAP
     )
     rho = factors.huber_rho(chi_c, huber_delta)
     return (
@@ -183,10 +197,12 @@ def accumulate_obs(K, M, obs_kf, obs_mp, Hpp_o, Hxx_o, Hpx_o, bp_o, bx_o,
     single-device assembly and the per-device accumulation of the
     distributed solver (parallel/dist_ba.py)."""
     dtype = Hpp_o.dtype
-    # HIGHEST keeps the f32 operands out of the MXU's default bf16
-    # truncation — with DEFAULT precision the one-hot accumulation
-    # diverged from the scatter sums by ~2e-3 relative (measured)
-    hi = jax.lax.Precision.HIGHEST
+    # HIGH (3-pass bf16) keeps the f32 operands out of the MXU's default
+    # single-pass bf16 truncation — DEFAULT diverged from the scatter
+    # sums by ~2e-3 relative; HIGH measures 6.5e-6 at 4.5x the speed of
+    # HIGHEST (1.17 → 0.26 ms for the dominant Hpx einsum at
+    # K=48/M=2048/O=8192, round-3 sweep)
+    hi = jax.lax.Precision.HIGH
     diag_idx = jnp.arange(K)
     if accum == "onehot" or (
         accum == "auto" and jax.default_backend() == "tpu"
@@ -245,10 +261,8 @@ def _assemble(prob: BAProblem, cam: CameraModel, Tcb, cfg: BAConfig):
     #     the whole accumulation at K=48/M=2048/O=8192), CPU keeps the
     #     scatters (the matmuls do O·(9K+9M) redundant FLOPs there). ---
     dtype = prob.poses.dtype
-    # HIGHEST keeps the f32 operands out of the MXU's default bf16
-    # truncation — with DEFAULT precision the one-hot accumulation
-    # diverged from the scatter sums by ~2e-3 relative (measured)
-    hi = jax.lax.Precision.HIGHEST
+    # HIGH, not HIGHEST — same rationale as accumulate_obs
+    hi = jax.lax.Precision.HIGH
     diag_idx = jnp.arange(K)
     if cfg.obs_grid_p > 0:
         # grid layout (all backends, so CPU tests drive the same path
@@ -378,9 +392,13 @@ def _solve_inner(prob, cam, Tcb, cfg, lam):
     free3 = jnp.repeat(free.astype(dtype), 3)
     S_d, b_d = _fix_gauge(S_d, b_d, free3)
 
-    # dense Cholesky solve
-    L = jnp.linalg.cholesky(S_d + cfg.eps * jnp.eye(3 * K, dtype=dtype))
-    dp = jax.scipy.linalg.cho_solve((L, True), b_d)
+    # dense solve: pivoted LU — at this size (3K=144) the Cholesky +
+    # cho_solve pair is a latency-bound custom-call chain measuring
+    # 0.80 ms on a v5e vs 0.22 ms for jnp.linalg.solve (round-3
+    # microbench); the system is symmetric PD either way
+    dp = jnp.linalg.solve(
+        S_d + cfg.eps * jnp.eye(3 * K, dtype=dtype), b_d
+    )
     dp = (dp * free3).reshape(K, 3)
 
     # back-substitute points: dx = Hxx⁻¹ (bx − Hpxᵀ dp)
