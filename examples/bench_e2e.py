@@ -1,0 +1,117 @@
+"""End-to-end mapping throughput through the host↔device dispatch path.
+
+Feeds a synthetic 640x480/1000-feature sequence into the full system —
+speculative chunked tracking, keyframe insertion with data association,
+pruning, local BA, loop closing — and reports WALL frames/s as the host
+sees them (transfers, syncs, and Python dispatch included; this is the
+number an embedder gets, unlike bench.py's device-side tracking rate).
+
+Protocol: a warm-up lap runs every program shape (chunk scans at both
+segment shapes, the insertion path, BoW detect) before the timed lap;
+the timed lap is a fresh traversal of unseen frames (distinct inputs —
+the axon path can serve repeated identical dispatches from a cache).
+Loop closing stays ENABLED: a realistic run pays for its global BAs.
+
+Writes E2E_BENCH.json at the repo root.
+
+Usage: python examples/bench_e2e.py [--chunk 8] [--frames 256]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=256,
+                    help="timed frames (after an equal warm-up lap)")
+    ap.add_argument("--per-frame", action="store_true",
+                    help="also time the 1-sync-per-frame mode")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "E2E_BENCH.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.devices()
+    if jax.default_backend() != "cpu":
+        from se2lam_tpu import enable_compilation_cache
+        enable_compilation_cache(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache"))
+
+    from __graft_entry__ import _default_cfg
+    from se2lam_tpu.io import SyntheticWorld
+    from se2lam_tpu.system import SlamSystem
+
+    cfg, _ = _default_cfg()
+    world = SyntheticWorld(cfg, n_landmarks=500, seed=0)
+    k = args.chunk
+    n = args.frames - (args.frames % k)
+    # The warm-up lap must execute EVERY program the timed lap will hit,
+    # including the loop-closure stack (verify, constraint, merge, pose
+    # graph, joint GBA) — with the persistent compile cache a first use
+    # costs a ~0.5-1 s cache load that would otherwise contaminate the
+    # timed lap. A full circle plus a quarter revisit closes a loop.
+    lap = world.circle_trajectory(224, radius=2.5)
+    n_warm = 224 + 64
+    total = n_warm + n
+    laps = int(np.ceil(total / len(lap)))
+    gt = np.concatenate([lap] * laps)[:total]
+    # uint8 feed: 1 byte/px on the wire (DESIGN §12)
+    frames = [np.asarray(world.render(gt[i]), np.uint8) for i in range(total)]
+    odos = [np.asarray(gt[i], np.float32) for i in range(total)]
+
+    def run(chunked: bool, lo: int, hi: int, slam: SlamSystem):
+        t0 = time.perf_counter()
+        if chunked:
+            for i in range(lo, hi, k):
+                nxt = frames[i + k:i + 2 * k] if i + 2 * k <= hi else None
+                slam.process_chunk(frames[i:i + k], odos[i:i + k],
+                                   next_imgs=nxt)
+        else:
+            for i in range(lo, hi):
+                slam.process(frames[i], odos[i])
+        return time.perf_counter() - t0
+
+    results = {"chunk": k, "frames": n, "backend": jax.default_backend()}
+
+    slam = SlamSystem(cfg, enable_loops=True)
+    warm_s = run(True, 0, n_warm, slam)
+    timed_s = run(True, n_warm, total, slam)
+    results["e2e_chunked_fps"] = round(n / timed_s, 1)
+    results["warmup_s"] = round(warm_s, 1)
+    results["n_kf"] = int(slam.ms.n_kf)
+    results["n_loops"] = int(
+        slam._loop_closer.n_loops_closed if slam._loop_closer else 0
+    )
+    print(f"chunked k={k}: {n / timed_s:.1f} fps wall "
+          f"({results['n_kf']} KFs, {results['n_loops']} loops; "
+          f"warm-up lap {warm_s:.1f}s)")
+
+    if args.per_frame:
+        slam2 = SlamSystem(cfg, enable_loops=True)
+        warm2 = run(False, 0, n_warm, slam2)
+        timed2 = run(False, n_warm, total, slam2)
+        results["e2e_per_frame_fps"] = round(n / timed2, 1)
+        print(f"per-frame:   {n / timed2:.1f} fps wall "
+              f"({int(slam2.ms.n_kf)} KFs; warm-up {warm2:.1f}s)")
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+        f.write("\n")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

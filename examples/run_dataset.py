@@ -103,20 +103,30 @@ def main():
     t0 = time.perf_counter()
     n = 0
     if args.chunk > 1:
+        # one-chunk lookahead: processing chunk i with next_imgs=chunk
+        # i+1 lets the system overlap the next image upload with this
+        # chunk's compute (SlamSystem.prefetch_chunk)
+        ready_img = ready_odo = None
         pending_img, pending_odo = [], []
         for img, odo in feed:
             pending_img.append(img)
             pending_odo.append(odo)
             if len(pending_img) == args.chunk:
-                slam.process_chunk(pending_img, pending_odo)
-                n += len(pending_img)
+                if ready_img is not None:
+                    slam.process_chunk(ready_img, ready_odo,
+                                       next_imgs=pending_img)
+                    n += len(ready_img)
+                    if n % (args.chunk * 8) == 0:
+                        print(f"frame {n}: kfs={slam.n_keyframes()} "
+                              f"mps={slam.n_map_points()}")
+                ready_img, ready_odo = pending_img, pending_odo
                 pending_img, pending_odo = [], []
-                if n % (args.chunk * 8) == 0:
-                    print(f"frame {n}: kfs={slam.n_keyframes()} "
-                          f"mps={slam.n_map_points()}")
-        if pending_img:
-            slam.process_chunk(pending_img, pending_odo)
-            n += len(pending_img)
+        for tail_img, tail_odo in (
+            (ready_img, ready_odo), (pending_img, pending_odo)
+        ):
+            if tail_img:
+                slam.process_chunk(tail_img, tail_odo)
+                n += len(tail_img)
     else:
         for img, odo in feed:
             slam.process(img, odo)

@@ -758,15 +758,15 @@ class LoopCloser:
         self._trained_at_nkf = n_inserts
         return True
 
-    def _maybe_feat_edge(self, ms: MapState, k: int) -> MapState:
+    def _apply_feat_edges(self, ms: MapState, k: int, cands) -> MapState:
         """Sparsified feature edges between the new KF and covisible but
         graph-distant partners (Map::SelectKFPairFeat/UpdateFeatGraph,
         src/Map.cpp:826-889): candidates selected by BFS hop distance
-        over the odometry+feature edge graph (device-side), every
-        selected pair gets a marginalized constraint (the reference
-        creates one per selected pair; CreateFeatEdge failures — here
-        the verify/chi2 gates — skip the pair)."""
-        cands = jax.device_get(select_feat_pairs(ms, k))   # ONE small pull
+        over the odometry+feature edge graph (device-side, fetched by
+        the caller in the shared per-KF pull), every selected pair gets
+        a marginalized constraint (the reference creates one per
+        selected pair; CreateFeatEdge failures — here the verify/chi2
+        gates — skip the pair)."""
         for cand in cands:
             cand = int(cand)
             if cand < 0:
@@ -792,14 +792,37 @@ class LoopCloser:
 
     def on_new_kf(self, ms: MapState, k) -> MapState:
         k = int(k)
-        ms = self._maybe_feat_edge(ms, k)
         self._n_inserts += 1
-        if not self._ensure_vocab(ms, n_inserts=self._n_inserts):
+        have_vocab = self._ensure_vocab(ms, n_inserts=self._n_inserts)
+        # dispatch the feat-edge candidate selection AND the BoW detect
+        # BEFORE fetching, so both come back in ONE ~30 ms tunnel pull
+        # (they were two pulls — a third of the per-KF sync budget).
+        # select_feat_pairs reads the pre-feat-edge graph and the detect
+        # reads only (bank, desc), so the order change is behavior-free.
+        cands_dev = select_feat_pairs(ms, k)
+        cfg = self.cfg
+        if have_vocab:
+            v, _ = vocab_mod.bow_transform(
+                self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
+            )
+            self.bank = self.bank.at[k].set(v)
+            scores = vocab_mod.bow_score(self.bank, v)
+            ids = jnp.arange(ms.K)
+            eligible = (
+                ms.kf_valid
+                & (ids <= k - cfg.gm_dcl_min_kfid_offset)
+            )
+            scores = jnp.where(eligible, scores, -jnp.inf)
+            cands, cand, best = jax.device_get(
+                (cands_dev, jnp.argmax(scores), jnp.max(scores))
+            )
+        else:
+            cands = jax.device_get(cands_dev)
+            cand = best = None
+
+        ms = self._apply_feat_edges(ms, k, cands)
+        if not have_vocab:
             return ms
-        v, _ = vocab_mod.bow_transform(
-            self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
-        )
-        self.bank = self.bank.at[k].set(v)
         # temporal throttle: consecutive keyframes revisiting the same
         # place would close near-duplicate loops whose correlated errors
         # pile up in the pose graph; one closure per revisit is enough
@@ -809,19 +832,6 @@ class LoopCloser:
         ):
             return ms
 
-        cfg = self.cfg
-        scores = vocab_mod.bow_score(self.bank, v)
-        ids = jnp.arange(ms.K)
-        eligible = (
-            ms.kf_valid
-            & (ids <= k - cfg.gm_dcl_min_kfid_offset)
-        )
-        scores = jnp.where(eligible, scores, -jnp.inf)
-        # ONE host round-trip for the detect decision (separate int()/
-        # float() fetches each pay a ~30 ms tunnel sync)
-        cand, best = jax.device_get(
-            (jnp.argmax(scores), jnp.max(scores))
-        )
         cand = int(cand)
         if float(best) < cfg.gm_dcl_min_score_best:
             return ms

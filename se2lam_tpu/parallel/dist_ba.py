@@ -282,10 +282,12 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
                 1.0 - free3
             )
             b_d = b_d * free3
-            L = jnp.linalg.cholesky(
-                S_d + cfg.eps * jnp.eye(3 * K, dtype=dtype)
+            # pivoted LU, not cholesky+cho_solve (latency-bound custom
+            # calls; solver/ba.py round-3 microbench) — replicated on
+            # every device either way
+            dpose = jnp.linalg.solve(
+                S_d + cfg.eps * jnp.eye(3 * K, dtype=dtype), b_d
             )
-            dpose = jax.scipy.linalg.cho_solve((L, True), b_d)
             dpose = (dpose * free3).reshape(K, 3)
 
             # local back-substitution for the owned point block

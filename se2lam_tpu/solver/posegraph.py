@@ -148,8 +148,10 @@ def solve_pose_graph(
         )
         Hd = Hd * free3[:, None] * free3[None, :] + jnp.diag(1.0 - free3)
         bd = b.reshape(-1) * free3
-        L = jnp.linalg.cholesky(Hd)
-        dp = jax.scipy.linalg.cho_solve((L, True), bd).reshape(K, 3)
+        # pivoted LU: cholesky+cho_solve is a latency-bound custom-call
+        # chain at these sizes (0.80 vs 0.22 ms at 144x144 on a v5e;
+        # worse at 3K=768 — solver/ba.py round-3 microbench)
+        dp = jnp.linalg.solve(Hd, bd).reshape(K, 3)
         new_poses = p.poses + dp * free[:, None]
         new_poses = new_poses.at[..., 2].set(
             se2.normalize_angle(new_poses[..., 2])
