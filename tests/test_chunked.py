@@ -99,6 +99,38 @@ def test_chunked_uint8_feed_matches_per_frame():
     np.testing.assert_allclose(est_c, est_r, atol=1e-4)
 
 
+def test_chunked_prefetch_identical():
+    """The next-chunk upload prefetch (process_chunk(next_imgs=...)) is a
+    pure transfer-scheduling hint: results must be BITWISE identical to
+    the unprefetched chunked run (same compiled programs, same arrays)."""
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=9)
+    frames = [(np.asarray(img).astype(np.uint8), odo)
+              for img, odo in world.sequence(24, noise=(0.004, 0.002, 0.002))]
+    imgs = [f[0] for f in frames]
+    odos = [f[1] for f in frames]
+
+    plain = SlamSystem(cfg, enable_loops=False)
+    for i in range(0, 24, 6):
+        plain.process_chunk(imgs[i:i + 6], odos[i:i + 6])
+
+    pref = SlamSystem(cfg, enable_loops=False)
+    for i in range(0, 24, 6):
+        nxt = imgs[i + 6:i + 12] if i + 12 <= 24 else None
+        pref.process_chunk(imgs[i:i + 6], odos[i:i + 6], next_imgs=nxt)
+    # a stale unconsumed prefetch must not leak across inputs
+    assert pref._take_prefetched(imgs[:6]) is None
+
+    assert pref.kf_frame_ids == plain.kf_frame_ids
+    np.testing.assert_array_equal(
+        np.asarray([p for _, p in pref.trajectory]),
+        np.asarray([p for _, p in plain.trajectory]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pref.ms.kf_pose), np.asarray(plain.ms.kf_pose)
+    )
+
+
 def test_chunked_closes_loops_too():
     """Chunk mode must drive the full keyframe pipeline (local BA, loop
     closer) — a revisit closes a loop exactly as in per-frame mode."""
