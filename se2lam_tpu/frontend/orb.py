@@ -232,8 +232,10 @@ def _extract_patches(img, ys, xs):
     """(Q, S, S) patches at integer centers via two one-hot matmuls.
 
     Runs in bf16: one-hot selection accumulates exactly one nonzero term
-    per output, and 8-bit pixel values are bf16-exact, so the patch is
-    lossless; bf16 runs ~4x faster on the MXU.
+    per output, so the only loss is the bf16 rounding of the pixel
+    VALUES — exact for level 0's 8-bit integers, ≤0.5 gray for the
+    interpolated upper levels (no worse than the reference's uint8
+    pyramid quantization); bf16 runs ~4x faster on the MXU.
     """
     H, W = img.shape
     S, R = PATCH_S, PATCH_R
@@ -266,14 +268,22 @@ def _gather3x3(mapv, ys, xs):
     d = jnp.arange(-1, 2)
     rows = jnp.clip(ys[:, None] + d[None, :], 0, H - 1)       # (Q, 3)
     cols = jnp.clip(xs[:, None] + d[None, :], 0, W - 1)
+    # HIGHEST: the gathered values feed a second-difference (parabola
+    # curvature) that cancels nearly-equal numbers — bf16 truncation of
+    # the operands would reduce the subpixel offsets to rounding noise
+    hi = jax.lax.Precision.HIGHEST
     row_sel = (
         rows[:, :, None] == jnp.arange(H)[None, None, :]
     ).astype(mapv.dtype)                                       # (Q, 3, H)
-    strip = jnp.einsum("qrh,hw->qrw", row_sel, mapv)           # (Q, 3, W)
+    strip = jnp.einsum(
+        "qrh,hw->qrw", row_sel, mapv, precision=hi
+    )                                                          # (Q, 3, W)
     col_sel = (
         cols[:, :, None] == jnp.arange(W)[None, None, :]
     ).astype(mapv.dtype)                                       # (Q, 3, W)
-    return jnp.einsum("qrw,qcw->qrc", strip, col_sel)          # (Q, 3, 3)
+    return jnp.einsum(
+        "qrw,qcw->qrc", strip, col_sel, precision=hi
+    )                                                          # (Q, 3, 3)
 
 
 def _moments_and_bits(level_img, ys, xs):
@@ -286,8 +296,10 @@ def _moments_and_bits(level_img, ys, xs):
     patches = _extract_patches(level_img, ys, xs).reshape(
         Q, PATCH_S * PATCH_S
     )
-    # disc moments: bf16 pixels (exact) x small-int weights (exact),
-    # f32 accumulation → m10/m01 exact
+    # disc moments: bf16 pixels x small-int weights (exact), f32
+    # accumulation — exact at level 0 (integer pixels); upper levels
+    # carry the patch's ≤0.5-gray bf16 rounding into the moments, a
+    # sub-quantization perturbation of the orientation
     mom = jax.lax.dot_general(
         patches,
         jnp.asarray(_MOMENT_W, jnp.bfloat16),
@@ -482,7 +494,14 @@ def make_extractor(cfg: OrbConfig):
             H, W = level_shapes[l]
             if l > 0:
                 Rh, Rw = resize_mats[l - 1]
-                level_img = (Rh @ img) @ Rw.T
+                # HIGHEST: the MXU's default bf16 truncation would put
+                # ~1 gray of noise on every resampled pixel (the
+                # replaced jax.image.resize also ran at HIGHEST); these
+                # matmuls are tiny, the precision is free
+                hi = jax.lax.Precision.HIGHEST
+                level_img = jnp.matmul(
+                    jnp.matmul(Rh, img, precision=hi), Rw.T, precision=hi
+                )
             quota = cfg.level_quotas[l]
             if quota <= 0:
                 continue

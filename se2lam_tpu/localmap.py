@@ -112,8 +112,11 @@ def _fw_mask_from_inverse(K, N, mp_obs_kf, mp_obs_feat, mp_mask):
     (kf_obs_mp >= 0)`` but built by SCATTERING the bounded-fan-in inverse
     observation lists: the (K·N)-element random gather from an (M,)
     table measures ~0.7 ms on a v5e while the (M·P)-entry scatter is
-    ~free (round-3 microbench). Exact because the observation tables are
-    bidirectionally consistent (test_prune.check_consistency)."""
+    ~free (round-3 microbench). Exact when ``mp_mask ⊆ mp_valid``: the
+    tables are bidirectionally consistent for VALID points
+    (test_prune.check_consistency), but culling clears only the forward
+    side, so an invalidated point's inverse row is stale — callers must
+    not pass masks that include invalid points."""
     sel = (mp_obs_kf >= 0) & mp_mask[:, None]
     rows = jnp.where(sel, mp_obs_kf, K)
     cols = jnp.clip(mp_obs_feat, 0)
@@ -449,7 +452,15 @@ def prune_redundant_kf(ms: MapState, cur_kf, protect=-1,
     obs = ms.kf_obs_mp                               # (K, N)
     has = obs >= 0
     n_mp_kf = jnp.sum(has, axis=1)
-    ws_sel = (ms.mp_obs_kf >= 0) & (ms.mp_n_obs >= 3)[:, None]
+    # the mp_valid mask is REQUIRED for forward/inverse equivalence:
+    # culling (add_keyframe's parallax kill, merge_loop_mps) invalidates
+    # a point and clears its FORWARD pointers but leaves the inverse row
+    # stale — without the mask those stale entries inflate well_count
+    # (ratio can exceed 1) and over-prune
+    ws_sel = (
+        (ms.mp_obs_kf >= 0)
+        & (ms.mp_valid & (ms.mp_n_obs >= 3))[:, None]
+    )
     well_count = jnp.zeros((K,), jnp.int32).at[
         jnp.where(ws_sel, ms.mp_obs_kf, K).reshape(-1)
     ].add(1, mode="drop")

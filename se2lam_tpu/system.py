@@ -282,16 +282,23 @@ class SlamSystem:
             return
         key = tuple(id(im) for im in imgs)
         stack = jnp.asarray(np.stack([np.asarray(im) for im in imgs]))
-        self._prefetched = (key, stack)
+        # hold references to the image objects themselves: the id() key
+        # is only unique while they are alive (CPython reuses addresses
+        # after GC — a dropped-and-reallocated chunk could otherwise
+        # match the key and silently feed the previous chunk's pixels)
+        self._prefetched = (key, list(imgs), stack)
 
     def _take_prefetched(self, imgs):
         pref = getattr(self, "_prefetched", None)
         if pref is None:
             return None
-        key, stack = pref
+        key, _refs, stack = pref
+        # one-shot either way: a mismatch means the promised "next
+        # chunk" never arrived — drop the entry rather than hold the
+        # stack (and the image refs) alive indefinitely
+        self._prefetched = None
         if key != tuple(id(im) for im in imgs):
             return None
-        self._prefetched = None
         return stack
 
     def enable_viz(self, out_dir: str, every_n_kf: int = 5,

@@ -118,8 +118,15 @@ def test_chunked_prefetch_identical():
     for i in range(0, 24, 6):
         nxt = imgs[i + 6:i + 12] if i + 12 <= 24 else None
         pref.process_chunk(imgs[i:i + 6], odos[i:i + 6], next_imgs=nxt)
-    # a stale unconsumed prefetch must not leak across inputs
+
+    # the prefetch cache is one-shot and input-keyed: a mismatched
+    # consumer gets a fresh transfer AND drops the stale entry (which
+    # must not survive to match a later — possibly id-recycled — chunk)
+    pref.prefetch_chunk(imgs[:6])
+    assert pref._take_prefetched(imgs[6:12]) is None
     assert pref._take_prefetched(imgs[:6]) is None
+    pref.prefetch_chunk(imgs[:6])
+    assert pref._take_prefetched(imgs[:6]) is not None
 
     assert pref.kf_frame_ids == plain.kf_frame_ids
     np.testing.assert_array_equal(

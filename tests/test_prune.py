@@ -87,6 +87,66 @@ def test_prune_splices_odometry_chain(rng):
     assert (ev > 0).all()
 
 
+def test_prune_ignores_culled_points_stale_inverse_rows(rng):
+    """Culling invalidates a point and clears its FORWARD pointers but
+    leaves the inverse observation row stale (MapPoint::setNull leaves
+    the dead object behind too). The redundancy count is taken from the
+    inverse tables, so it must mask by mp_valid — stale rows of culled
+    well-observed points would otherwise inflate every observer's
+    well-seen ratio (above 1 in the limit) and over-prune."""
+    cfg, ms, kfs = dense_map(rng)
+
+    # Build the post-cull state: keep 8 survivor points TRUNCATED to
+    # their last two observers (n_obs = 2, i.e. not well-seen), cull
+    # everything else clearing forward pointers ONLY — exactly the shape
+    # add_keyframe's parallax kill and merge_loop_mps leave behind
+    # (MapPoint::setNull also leaves the dead object's lists around).
+    # The correct redundancy ratio is then 0 for every keyframe (no
+    # well-seen forward entry exists) and NOTHING is prunable, while the
+    # stale inverse rows still carry every old well-seen observation.
+    mv = np.asarray(ms.mp_valid)
+    obs_kf = np.asarray(ms.mp_obs_kf).copy()
+    obs_ft = np.asarray(ms.mp_obs_feat).copy()
+    kf_obs = np.asarray(ms.kf_obs_mp).copy()
+    n_obs = np.asarray(ms.mp_n_obs)
+    surv = np.nonzero(mv & (n_obs >= 3))[0][:8]
+    assert len(surv) >= 4, "scene has too few well-observed points"
+    for m in surv:  # drop all but the LAST two observations (late =
+        n = int(n_obs[m])  # interior keyframes keep forward entries)
+        for p in range(0, n - 2):
+            kf_obs[obs_kf[m, p], obs_ft[m, p]] = -1
+        obs_kf[m, : 2] = obs_kf[m, n - 2 : n]
+        obs_ft[m, : 2] = obs_ft[m, n - 2 : n]
+        obs_kf[m, 2:] = -1
+        obs_ft[m, 2:] = -1
+    cull = mv.copy()
+    cull[surv] = False
+    cullm = (kf_obs >= 0) & cull[np.clip(kf_obs, 0, None)]
+    kf_obs[cullm] = -1
+    ms_culled = ms._replace(
+        mp_valid=jnp.asarray(mv & ~cull),
+        mp_obs_kf=jnp.asarray(obs_kf),
+        mp_obs_feat=jnp.asarray(obs_ft),
+        mp_n_obs=jnp.asarray(
+            np.where(np.isin(np.arange(ms.M), surv), 2, n_obs)
+        ),
+        kf_obs_mp=jnp.asarray(kf_obs),
+    )
+    check_consistency(ms_culled)
+    # interior KFs must retain forward entries, or the n_mp_kf > 0 gate
+    # would mask the statistic under test
+    n_mp_kf = (kf_obs >= 0).sum(1)
+    assert (n_mp_kf[2:] > 0).any(), "no interior KF kept a survivor"
+
+    ms2, kid = localmap.prune_redundant_kf(
+        ms_culled, jnp.asarray(kfs[-1])
+    )
+    assert int(kid) == -1, (
+        f"pruned KF {int(kid)} whose true well-seen ratio is 0 — the "
+        "inverse-table count included stale rows of culled points"
+    )
+
+
 def test_prune_noop_when_nothing_redundant(rng):
     """A sparse map (long baseline, few shared MPs) must not be pruned."""
     cfg = make_cfg()
