@@ -97,6 +97,12 @@ class SlamSystem:
         # (frame_id, ref_kf_slot, pose ⊖ ref_pose) per frame, for
         # retro-correcting the live trajectory after BA/loop closures
         self._frame_anchors: list[tuple[int, int, np.ndarray]] = []
+        # host mirror of the tracking reference (slot + pose). The
+        # authoritative copy lives on device; after a keyframe insertion
+        # the fetch is DEFERRED (_mirror_pending) and rides the next
+        # control-decision pull — one fewer ~30 ms tunnel sync per KF.
+        # All readers go through the flushing properties below.
+        self._mirror_pending = None
         self._ref_kf_host = 0
         self._ref_pose_host = np.zeros(3, np.float32)
         self.key = jax.random.PRNGKey(0)
@@ -366,10 +372,23 @@ class SlamSystem:
         # ONE host round-trip per frame for the control decisions + pose
         # (separate bool()/np.asarray() fetches each pay a device sync,
         # which dominates on remote-attached chips). n_kf rides along —
-        # it was computed by the previous insert and is already resident.
-        need_kf, pose, n_kf = jax.device_get(
-            (res.need_kf, res.pose, self.ms.n_kf)
-        )
+        # it was computed by the previous insert and is already resident
+        # — and so does a pending reference-KF mirror from the previous
+        # keyframe insertion (the deferred-fetch contract).
+        pend = self._mirror_pending
+        if pend is not None:
+            k_dev, pose_dev, fix_idx, fid_p = pend
+            need_kf, pose, n_kf, kf_slot, ref_pose = jax.device_get(
+                (res.need_kf, res.pose, self.ms.n_kf, k_dev, pose_dev)
+            )
+            self._apply_mirror(
+                int(kf_slot), np.asarray(ref_pose, np.float32),
+                fix_idx, fid_p,
+            )
+        else:
+            need_kf, pose, n_kf = jax.device_get(
+                (res.need_kf, res.pose, self.ms.n_kf)
+            )
         self.timings["track"] = time.perf_counter() - t0
 
         # anchor record for retro-correction: this frame's pose relative
@@ -399,6 +418,53 @@ class SlamSystem:
         host-mirrored pose — the retro-correction anchor record shared by
         the per-frame and chunked paths."""
         return _np_se2_minus(pose, self._ref_pose_host)
+
+    # ---- deferred reference-KF host mirror ----
+    @property
+    def _ref_kf_host(self):
+        self._flush_mirror()
+        return self._ref_kf_host_raw
+
+    @_ref_kf_host.setter
+    def _ref_kf_host(self, v):
+        self._flush_mirror()   # a direct set supersedes a pending fetch,
+        self._ref_kf_host_raw = v  # but its anchor fix must still land
+
+    @property
+    def _ref_pose_host(self):
+        self._flush_mirror()
+        return self._ref_pose_host_raw
+
+    @_ref_pose_host.setter
+    def _ref_pose_host(self, v):
+        self._flush_mirror()
+        self._ref_pose_host_raw = v
+
+    def _flush_mirror(self):
+        pend = getattr(self, "_mirror_pending", None)
+        if pend is None:
+            return
+        k_dev, pose_dev, fix_idx, fid = pend
+        kf_slot, ref_pose = jax.device_get((k_dev, pose_dev))
+        self._apply_mirror(
+            int(kf_slot), np.asarray(ref_pose, np.float32), fix_idx, fid
+        )
+
+    def _apply_mirror(self, kf_slot: int, ref_pose: np.ndarray,
+                      fix_idx, fid):
+        """Install fetched mirror values + the fired frame's own anchor
+        rewrite (it became the keyframe: anchor = (new slot, zero rel))."""
+        self._mirror_pending = None
+        self._ref_kf_host_raw = kf_slot
+        self._ref_pose_host_raw = ref_pose
+        if (
+            fix_idx is not None
+            and fix_idx < len(self._frame_anchors)
+            and self._frame_anchors[fix_idx][0] == fid
+        ):
+            self._frame_anchors[fix_idx] = (
+                fid, kf_slot, np.zeros(3, np.float32)
+            )
 
     def process_chunk(self, imgs, odos, next_imgs=None) -> np.ndarray:
         """Feed ``k`` (image, odometry) pairs with ONE keyframe-decision
@@ -456,10 +522,22 @@ class SlamSystem:
                 cfg,
             )
             # ONE host round-trip per segment: k decisions + poses (+ the
-            # live KF count for the capacity check, already resident)
-            needs_h, poses_h, n_kf = jax.device_get(
-                (needs, poses, self.ms.n_kf)
-            )
+            # live KF count for the capacity check, already resident, +
+            # a pending reference-KF mirror from the previous insertion)
+            pend = self._mirror_pending
+            if pend is not None:
+                k_dev, pose_dev, fix_idx, fid_p = pend
+                needs_h, poses_h, n_kf, kf_slot, ref_pose = jax.device_get(
+                    (needs, poses, self.ms.n_kf, k_dev, pose_dev)
+                )
+                self._apply_mirror(
+                    int(kf_slot), np.asarray(ref_pose, np.float32),
+                    fix_idx, fid_p,
+                )
+            else:
+                needs_h, poses_h, n_kf = jax.device_get(
+                    (needs, poses, self.ms.n_kf)
+                )
             self.timings["track"] = time.perf_counter() - t0
             fire = next((j for j in range(i, kk) if needs_h[j]), None)
             upto = kk if fire is None else fire + 1
@@ -706,16 +784,16 @@ class SlamSystem:
             obs_mask,
         )
         self.kf_frame_ids.append(self.frame_id)
-        # per-KF host mirror for the retro-correction anchors (one sync
-        # per keyframe, not per frame)
-        kf_slot, ref_pose = jax.device_get((k, new_ref_pose))
-        self._ref_kf_host = int(kf_slot)
-        self._ref_pose_host = np.asarray(ref_pose, np.float32)
-        # the current frame became the KF: re-anchor its record exactly
+        # per-KF host mirror for the retro-correction anchors: DEFER the
+        # fetch — it rides the next control-decision pull (process_chunk
+        # / process_features merge it into their device_get), so a
+        # keyframe costs no dedicated mirror sync. The fired frame's own
+        # anchor rewrite (it became the KF: (new slot, zero rel)) is
+        # recorded as a fix applied when the values land.
+        fix_idx = None
         if self._frame_anchors and self._frame_anchors[-1][0] == self.frame_id:
-            self._frame_anchors[-1] = (
-                self.frame_id, self._ref_kf_host, np.zeros(3, np.float32)
-            )
+            fix_idx = len(self._frame_anchors) - 1
+        self._mirror_pending = (k, new_ref_pose, fix_idx, self.frame_id)
 
         # in-run observability cadence (enable_viz)
         if (
@@ -794,6 +872,7 @@ class SlamSystem:
         loop closures. (The live `trajectory` list keeps the poses as
         they were published; the reference offers only the final KF dump,
         src/OdoSLAM.cpp:199-214.)"""
+        self._flush_mirror()   # a pending anchor fix must land first
         kf_pose = np.asarray(self.ms.kf_pose)   # one device fetch
         anchors = {fid: (ref, rel) for fid, ref, rel in self._frame_anchors}
         out = []
