@@ -836,26 +836,28 @@ class LoopCloser:
         if float(best) < cfg.gm_dcl_min_score_best:
             return ms
 
-        # verification — one round-trip for the three gate counts
+        # verification + constraint build dispatched together so ALL five
+        # gate scalars come back in ONE round-trip (the same speculative-
+        # dispatch trade as the feat-edge path: a wasted constraint solve
+        # on a failing candidate is cheaper than a second ~30 ms pull)
         self.key, sub = jax.random.split(self.key)
         midx, n_kp, n_mp, n_cur = verify_loop(
             ms, k, cand, sub, n_trials=cfg.cap.ransac_trials
         )
-        n_kp, n_mp, n_cur = map(int, jax.device_get((n_kp, n_mp, n_cur)))
+        meas, info, n_good, _good = build_loop_constraint(
+            ms, k, cand, midx, cfg
+        )
+        n_kp, n_mp, n_cur, n_good, bank_full = jax.device_get(
+            (n_kp, n_mp, n_cur, n_good, jnp.all(ms.ftr_valid))
+        )
+        n_kp, n_mp, n_cur, n_good = map(int, (n_kp, n_mp, n_cur, n_good))
         if (
             n_mp < cfg.gm_vcl_num_min_match_mp
             or n_kp < cfg.gm_vcl_num_min_match_kp
             or n_mp < cfg.gm_vcl_ratio_min_match_mp * max(n_cur, 1)
         ):
             return ms
-
-        meas, info, n_good, _good = build_loop_constraint(
-            ms, k, cand, midx, cfg
-        )
-        n_good, bank_full = jax.device_get(
-            (n_good, jnp.all(ms.ftr_valid))
-        )
-        if int(n_good) < cfg.gm_vcl_num_min_match_mp:
+        if n_good < cfg.gm_vcl_num_min_match_mp:
             return ms
 
         if bool(bank_full):
