@@ -8,8 +8,11 @@ examples/feed_live.py or any client speaking the 4-line protocol.
 
 Usage:
   python examples/serve_live.py [--port 7207] [--chunk 8]
-      [--map PATH]          # serve localization against a frozen map
-      [--save PATH]         # write the built map at shutdown
+      [--map PATH]            # RESUME MAPPING on an existing checkpoint
+                              # (relocalizes, then keeps extending it)
+      [--map PATH --localize] # read-only localization against the
+                              # frozen map (the LOCALIZATION_ONLY mode)
+      [--save PATH]           # write the built map at shutdown
 """
 from __future__ import annotations
 
@@ -30,7 +33,12 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--features", type=int, default=1000)
     ap.add_argument("--map", default=None,
-                    help="resume mapping on an existing map checkpoint")
+                    help="existing map checkpoint: resume mapping on it "
+                         "(default) or serve it frozen with --localize")
+    ap.add_argument("--localize", action="store_true",
+                    help="with --map: localization-only against the "
+                         "frozen map (never mutates it; lost frames "
+                         "reply flags=0)")
     ap.add_argument("--save", default=None,
                     help="save the map at shutdown (Ctrl-C)")
     args = ap.parse_args()
@@ -41,7 +49,15 @@ def main():
 
     cfg, _ = _default_cfg(width=args.width, height=args.height,
                           n_features=args.features)
-    if args.map:
+    if args.localize:
+        if not args.map:
+            ap.error("--localize requires --map")
+        from se2lam_tpu.io import load_map
+        from se2lam_tpu.localizer import Localizer
+
+        ms, vocab, _meta = load_map(args.map)
+        system = Localizer(cfg, ms, vocab)
+    elif args.map:
         system = SlamSystem.resume(cfg, args.map)
     else:
         system = SlamSystem(cfg, enable_loops=True)
@@ -55,11 +71,13 @@ def main():
         pass
     finally:
         server.stop()
-        print(f"served {server.frames_served} frames, "
-              f"{system.n_keyframes()} keyframes")
+        print(f"served {server.frames_served} frames")
         if args.save:
-            system.save_map(args.save)
-            print(f"map saved to {args.save}")
+            if args.localize:
+                print("--save ignored: --localize never mutates the map")
+            else:
+                system.save_map(args.save)
+                print(f"map saved to {args.save}")
 
 
 if __name__ == "__main__":

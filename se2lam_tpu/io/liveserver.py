@@ -41,10 +41,11 @@ _REPLY = struct.Struct("<IfffB")
 _END_ID = 0xFFFFFFFF
 
 
-def _recv_exact(conn, n: int, stop=None) -> bytes:
+def _recv_exact(conn, n: int, stop=None, deadline=None) -> bytes:
     """Read exactly n bytes; mid-message socket timeouts keep waiting
     (the flush timeout is a BOUNDARY poll — once a message started, its
-    remainder is already in flight and must not be dropped)."""
+    remainder is already in flight and must not be dropped). A stop
+    event or a monotonic ``deadline`` aborts the wait."""
     buf = bytearray()
     while len(buf) < n:
         try:
@@ -52,6 +53,8 @@ def _recv_exact(conn, n: int, stop=None) -> bytes:
         except socket.timeout:
             if stop is not None and stop.is_set():
                 raise ConnectionError("server stopping")
+            if deadline is not None and time.monotonic() > deadline:
+                raise ConnectionError("peer timed out mid-message")
             continue
         if not part:
             raise ConnectionError("peer closed mid-message")
@@ -112,8 +115,13 @@ class SlamServer:
 
     # -- one client --------------------------------------------------
     def _serve_client(self, conn: socket.socket):
+        # 1 s poll + 10 s hello deadline: a connection that never speaks
+        # (port scanner, crashed client) must not wedge the accept loop,
+        # and stop() must be able to interrupt the wait
+        conn.settimeout(1.0)
         magic, ver, H, W = _HELLO.unpack(
-            _recv_exact(conn, _HELLO.size)
+            _recv_exact(conn, _HELLO.size, self._stop,
+                        deadline=time.monotonic() + 10.0)
         )
         if magic != _MAGIC or ver != 1:
             raise ConnectionError(f"bad hello {magic!r} v{ver}")
@@ -134,9 +142,13 @@ class SlamServer:
             if not ids:
                 return
             poses = self.system.process_chunk(imgs, odos)
+            # SlamSystem returns a (k, 3) array; Localizer returns a
+            # list with None where the frame is LOST — reported on the
+            # wire as flags=0 with a zero pose, never dropped
             out = b"".join(
+                _REPLY.pack(fid, 0.0, 0.0, 0.0, 0) if p is None else
                 _REPLY.pack(fid, float(p[0]), float(p[1]), float(p[2]), 1)
-                for fid, p in zip(ids, np.asarray(poses))
+                for fid, p in zip(ids, list(poses))
             )
             conn.sendall(out)
             self.frames_served += len(ids)
@@ -169,6 +181,9 @@ class SlamServer:
             odos.append(np.asarray([x, y, th], np.float32))
             if len(ids) >= self.chunk:
                 flush()
+        # stop() during an active stream: reply to everything buffered —
+        # the protocol promises one reply per frame (latency, not loss)
+        flush()
 
 
 class LiveClient:

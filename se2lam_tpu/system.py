@@ -374,21 +374,10 @@ class SlamSystem:
         # which dominates on remote-attached chips). n_kf rides along —
         # it was computed by the previous insert and is already resident
         # — and so does a pending reference-KF mirror from the previous
-        # keyframe insertion (the deferred-fetch contract).
-        pend = self._mirror_pending
-        if pend is not None:
-            k_dev, pose_dev, fix_idx, fid_p = pend
-            need_kf, pose, n_kf, kf_slot, ref_pose = jax.device_get(
-                (res.need_kf, res.pose, self.ms.n_kf, k_dev, pose_dev)
-            )
-            self._apply_mirror(
-                int(kf_slot), np.asarray(ref_pose, np.float32),
-                fix_idx, fid_p,
-            )
-        else:
-            need_kf, pose, n_kf = jax.device_get(
-                (res.need_kf, res.pose, self.ms.n_kf)
-            )
+        # keyframe insertion.
+        need_kf, pose, n_kf = self._pull_with_mirror(
+            res.need_kf, res.pose, self.ms.n_kf
+        )
         self.timings["track"] = time.perf_counter() - t0
 
         # anchor record for retro-correction: this frame's pose relative
@@ -441,14 +430,22 @@ class SlamSystem:
         self._ref_pose_host_raw = v
 
     def _flush_mirror(self):
+        if getattr(self, "_mirror_pending", None) is not None:
+            self._pull_with_mirror()
+
+    def _pull_with_mirror(self, *arrays):
+        """device_get ``arrays``, carrying any pending reference-KF
+        mirror along in the SAME pull (the deferred-fetch contract: a
+        keyframe insertion costs no dedicated mirror sync)."""
         pend = getattr(self, "_mirror_pending", None)
         if pend is None:
-            return
+            return jax.device_get(arrays)
         k_dev, pose_dev, fix_idx, fid = pend
-        kf_slot, ref_pose = jax.device_get((k_dev, pose_dev))
+        out = jax.device_get(arrays + (k_dev, pose_dev))
         self._apply_mirror(
-            int(kf_slot), np.asarray(ref_pose, np.float32), fix_idx, fid
+            int(out[-2]), np.asarray(out[-1], np.float32), fix_idx, fid
         )
+        return out[:-2]
 
     def _apply_mirror(self, kf_slot: int, ref_pose: np.ndarray,
                       fix_idx, fid):
@@ -524,20 +521,9 @@ class SlamSystem:
             # ONE host round-trip per segment: k decisions + poses (+ the
             # live KF count for the capacity check, already resident, +
             # a pending reference-KF mirror from the previous insertion)
-            pend = self._mirror_pending
-            if pend is not None:
-                k_dev, pose_dev, fix_idx, fid_p = pend
-                needs_h, poses_h, n_kf, kf_slot, ref_pose = jax.device_get(
-                    (needs, poses, self.ms.n_kf, k_dev, pose_dev)
-                )
-                self._apply_mirror(
-                    int(kf_slot), np.asarray(ref_pose, np.float32),
-                    fix_idx, fid_p,
-                )
-            else:
-                needs_h, poses_h, n_kf = jax.device_get(
-                    (needs, poses, self.ms.n_kf)
-                )
+            needs_h, poses_h, n_kf = self._pull_with_mirror(
+                needs, poses, self.ms.n_kf
+            )
             self.timings["track"] = time.perf_counter() - t0
             fire = next((j for j in range(i, kk) if needs_h[j]), None)
             upto = kk if fire is None else fire + 1

@@ -79,6 +79,49 @@ def test_live_server_pose_stream_exact():
     )
 
 
+def test_live_server_localization_mode():
+    """A Localizer behind the server: lost frames reply flags=0 (never
+    dropped, never crash the server thread), tracked frames carry poses
+    matching the direct Localizer."""
+    from se2lam_tpu.localizer import Localizer
+
+    cfg = _cfg()
+    frames = _sequence(cfg, 18, seed=21)
+    mapper = SlamSystem(cfg, enable_loops=False)
+    for img, odo in frames[:12]:
+        mapper.process(img, odo)
+    assert mapper.n_keyframes() >= 2
+    ms = mapper.ms
+
+    seed_pose = mapper.trajectory[-1][1]
+    seed_odo = frames[11][1]
+
+    ref = Localizer(cfg, ms, None, reloc_min_inliers=30)
+    ref.set_pose(seed_pose, seed_odo)
+    ref_out = ref.process_chunk([f[0] for f in frames[12:]],
+                                [f[1] for f in frames[12:]])
+
+    served = Localizer(cfg, ms, None, reloc_min_inliers=30)
+    served.set_pose(seed_pose, seed_odo)
+    server = SlamServer(served, chunk=6, flush_ms=500.0).start()
+    try:
+        client = LiveClient(server.address, cfg.height, cfg.width)
+        for img, odo in frames[12:]:
+            client.send_frame(img, odo)
+        replies = client.drain()
+        client.close()
+    finally:
+        server.stop()
+
+    assert len(replies) == 6
+    for (fid, pose, ok), want in zip(replies, ref_out):
+        if want is None:
+            assert not ok
+        else:
+            assert ok
+            np.testing.assert_allclose(pose, want, atol=1e-5)
+
+
 def test_live_server_flush_timeout_partial_chunk():
     """A quiet feed must still get replies: fewer frames than the chunk
     size are flushed by the timeout, not held forever."""
