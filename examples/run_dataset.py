@@ -121,12 +121,16 @@ def main():
                               f"mps={slam.n_map_points()}")
                 ready_img, ready_odo = pending_img, pending_odo
                 pending_img, pending_odo = [], []
-        for tail_img, tail_odo in (
-            (ready_img, ready_odo), (pending_img, pending_odo)
-        ):
-            if tail_img:
-                slam.process_chunk(tail_img, tail_odo)
-                n += len(tail_img)
+        if ready_img:
+            # keep the upload prefetch for the final chunk pair too
+            slam.process_chunk(
+                ready_img, ready_odo,
+                next_imgs=pending_img if pending_img else None,
+            )
+            n += len(ready_img)
+        if pending_img:
+            slam.process_chunk(pending_img, pending_odo)
+            n += len(pending_img)
     else:
         for img, odo in feed:
             slam.process(img, odo)

@@ -24,6 +24,7 @@ Replies are in frame order, one per frame, possibly delayed by up to
 """
 from __future__ import annotations
 
+import logging
 import socket
 import struct
 import threading
@@ -32,6 +33,8 @@ import time
 import numpy as np
 
 __all__ = ["SlamServer", "LiveClient"]
+
+log = logging.getLogger(__name__)
 
 _MAGIC = b"SE2L"
 _HELLO = struct.Struct("<4sHII")
@@ -97,8 +100,18 @@ class SlamServer:
             with conn:
                 try:
                     self._serve_client(conn)
-                except (ConnectionError, OSError):
-                    pass  # client vanished: keep the map, await the next
+                except (ConnectionError, OSError) as e:
+                    # client vanished: keep the map, await the next —
+                    # but say why (a silently dropped client is
+                    # undebuggable from the feed side)
+                    log.warning("client dropped: %s", e)
+                except Exception:
+                    # an estimator error (JAX failure, capacity edge,
+                    # assertion) must not kill the serving thread: the
+                    # daemon would die silently while clients hang in
+                    # recv_pose until their timeout. Drop this client,
+                    # keep serving.
+                    log.exception("estimator error while serving client")
         self._sock.close()
 
     def start(self):
@@ -150,7 +163,15 @@ class SlamServer:
                 _REPLY.pack(fid, float(p[0]), float(p[1]), float(p[2]), 1)
                 for fid, p in zip(ids, list(poses))
             )
-            conn.sendall(out)
+            # the connection's 50 ms timeout is a RECV boundary poll; a
+            # client slow to drain replies must get a real write
+            # deadline, not the poll interval (sendall under the 50 ms
+            # timeout drops a merely-slow client)
+            conn.settimeout(10.0)
+            try:
+                conn.sendall(out)
+            finally:
+                conn.settimeout(self.flush_s)
             self.frames_served += len(ids)
             ids.clear(); imgs.clear(); odos.clear()
 
@@ -166,15 +187,20 @@ class SlamServer:
             if not first:
                 flush()
                 return
+            # mid-message deadline: a client that dies without FIN
+            # (network partition, hard power-off) must not wedge the
+            # single-client server in the timeout retry loop forever
+            deadline = time.monotonic() + 10.0
             hdr = first + _recv_exact(
-                conn, _FRAME_HDR.size - 1, self._stop
+                conn, _FRAME_HDR.size - 1, self._stop, deadline=deadline
             )
             fid, x, y, th = _FRAME_HDR.unpack(hdr)
             if fid == _END_ID:
                 flush()
                 return
             img = np.frombuffer(
-                _recv_exact(conn, n_px, self._stop), np.uint8
+                _recv_exact(conn, n_px, self._stop, deadline=deadline),
+                np.uint8,
             ).reshape(H, W)
             ids.append(fid)
             imgs.append(img)
