@@ -269,6 +269,33 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
     return meas, info, jnp.sum(good.astype(jnp.int32)), good
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_trials"))
+def verify_and_build_batch(
+    ms: MapState, k, cands, keys, cfg: SystemConfig, n_trials: int
+):
+    """Vmapped verify + constraint build over a fixed-size candidate
+    vector — ONE dispatch and ONE gate pull for all feature-edge
+    candidates (and, shared by the caller, the loop candidate), instead
+    of one ~30 ms tunnel round-trip per candidate
+    (Map::UpdateFeatGraph loops host-side, src/Map.cpp:857-889; the
+    semantics per pair are identical, only the sync count changes).
+
+    Returns (midx (C,N), n_kp (C,), n_mp (C,), n_cur (C,), meas (C,3),
+    info (C,3,3), n_good (C,)). Candidates must be pre-clipped to valid
+    slot range; the caller gates invalid slots host-side."""
+
+    def one(cand, key):
+        midx, n_kp, n_mp, n_cur = verify_loop(
+            ms, k, cand, key, n_trials=n_trials
+        )
+        meas, info, n_good, _ = build_loop_constraint(
+            ms, k, cand, midx, cfg
+        )
+        return midx, n_kp, n_mp, n_cur, meas, info, n_good
+
+    return jax.vmap(one)(cands, keys)
+
+
 @partial(jax.jit, static_argnames=("hops", "max_cands"))
 def select_feat_pairs(ms: MapState, k, hops: int = 5, max_cands: int = 4):
     """Feature-edge partner selection by BFS hop distance
@@ -706,6 +733,14 @@ class LoopCloser:
         self.last_loop: tuple[int, int] | None = None
         self.last_loop_midx = None          # (N,) loop→cur feature matches
         self.last_global_ba_info: dict | None = None
+        # host-sync accounting: device_get count of the most recent
+        # on_new_kf call (the per-KF sync budget is ≤2 — one for the
+        # detect/cands pull, one for ALL verify gates batched together)
+        self.last_kf_pulls = 0
+
+    def _pull(self, x):
+        self.last_kf_pulls += 1
+        return jax.device_get(x)
 
     def adopt_vocab(self, vocab, ms: MapState):
         """Install a vocabulary and backfill the BoW bank for every
@@ -758,45 +793,13 @@ class LoopCloser:
         self._trained_at_nkf = n_inserts
         return True
 
-    def _apply_feat_edges(self, ms: MapState, k: int, cands) -> MapState:
-        """Sparsified feature edges between the new KF and covisible but
-        graph-distant partners (Map::SelectKFPairFeat/UpdateFeatGraph,
-        src/Map.cpp:826-889): candidates selected by BFS hop distance
-        over the odometry+feature edge graph (device-side, fetched by
-        the caller in the shared per-KF pull), every selected pair gets
-        a marginalized constraint (the reference creates one per
-        selected pair; CreateFeatEdge failures — here the verify/chi2
-        gates — skip the pair)."""
-        for cand in cands:
-            cand = int(cand)
-            if cand < 0:
-                break
-            self.key, sub = jax.random.split(self.key)
-            midx, n_kp, n_mp, _ = verify_loop(
-                ms, k, cand, sub, n_trials=self.cfg.cap.ransac_trials
-            )
-            # dispatch the constraint build unconditionally so BOTH gate
-            # counts come back in ONE device sync (selected pairs are
-            # rare — a wasted pose-only solve on a failing candidate is
-            # cheaper than a second ~30 ms tunnel round-trip each)
-            meas, info, n_good, _ = build_loop_constraint(
-                ms, k, cand, midx, self.cfg
-            )
-            n_mp_h, n_good_h = jax.device_get((n_mp, n_good))
-            if int(n_mp_h) < 10 or int(n_good_h) < 10:
-                continue
-            ms = add_ftr_edge(
-                ms, jnp.asarray(cand), jnp.asarray(k), meas, info
-            )
-        return ms
-
     def on_new_kf(self, ms: MapState, k) -> MapState:
         k = int(k)
+        self.last_kf_pulls = 0
         self._n_inserts += 1
         have_vocab = self._ensure_vocab(ms, n_inserts=self._n_inserts)
         # dispatch the feat-edge candidate selection AND the BoW detect
-        # BEFORE fetching, so both come back in ONE ~30 ms tunnel pull
-        # (they were two pulls — a third of the per-KF sync budget).
+        # BEFORE fetching, so both come back in ONE ~30 ms tunnel pull.
         # select_feat_pairs reads the pre-feat-edge graph and the detect
         # reads only (bank, desc), so the order change is behavior-free.
         cands_dev = select_feat_pairs(ms, k)
@@ -813,44 +816,74 @@ class LoopCloser:
                 & (ids <= k - cfg.gm_dcl_min_kfid_offset)
             )
             scores = jnp.where(eligible, scores, -jnp.inf)
-            cands, cand, best = jax.device_get(
+            cands, cand, best = self._pull(
                 (cands_dev, jnp.argmax(scores), jnp.max(scores))
             )
         else:
-            cands = jax.device_get(cands_dev)
+            cands = self._pull(cands_dev)
             cand = best = None
 
-        ms = self._apply_feat_edges(ms, k, cands)
-        if not have_vocab:
-            return ms
-        # temporal throttle: consecutive keyframes revisiting the same
-        # place would close near-duplicate loops whose correlated errors
-        # pile up in the pose graph; one closure per revisit is enough
-        if (
+        # loop-candidate eligibility decided host-side BEFORE dispatch:
+        # the temporal throttle (consecutive keyframes revisiting the
+        # same place would close near-duplicate loops whose correlated
+        # errors pile up in the pose graph) and the BoW score gate
+        # (DetectLoopClose accept, src/GlobalMapper.cpp:206-254)
+        throttled = (
             self.last_loop is not None
             and k - self.last_loop[1] < self.min_kfs_between_loops
+        )
+        loop_cand = -1
+        if (
+            have_vocab
+            and not throttled
+            and float(best) >= cfg.gm_dcl_min_score_best
         ):
-            return ms
+            loop_cand = int(cand)
 
-        cand = int(cand)
-        if float(best) < cfg.gm_dcl_min_score_best:
+        # ONE batched verify + constraint-build dispatch for ALL
+        # feature-edge candidates (Map::UpdateFeatGraph,
+        # src/Map.cpp:857-889) plus the loop candidate in the last slot,
+        # and ONE pull for every gate scalar — per-KF host syncs stay ≤2
+        # even when candidates fire (previously each feat-edge candidate
+        # cost its own ~30 ms tunnel round-trip)
+        feat_cands = [int(c) for c in cands if int(c) >= 0]
+        if loop_cand < 0 and not feat_cands:
             return ms
-
-        # verification + constraint build dispatched together so ALL five
-        # gate scalars come back in ONE round-trip (the same speculative-
-        # dispatch trade as the feat-edge path: a wasted constraint solve
-        # on a failing candidate is cheaper than a second ~30 ms pull)
+        # two compiled widths only: 1 (the common loop-candidate-only
+        # case — padding to 5 would 5× the verify compute per eligible
+        # KF) and max_cands+1 (any feat-edge candidates present)
+        C = 1 if not feat_cands else len(cands) + 1
+        vec = np.full((C,), -1, np.int64)
+        vec[: len(feat_cands)] = feat_cands
+        vec[-1] = loop_cand
         self.key, sub = jax.random.split(self.key)
-        midx, n_kp, n_mp, n_cur = verify_loop(
-            ms, k, cand, sub, n_trials=cfg.cap.ransac_trials
+        keys = jax.random.split(sub, C)
+        midx_b, n_kp_b, n_mp_b, n_cur_b, meas_b, info_b, n_good_b = (
+            verify_and_build_batch(
+                ms, k, jnp.asarray(np.clip(vec, 0, None), jnp.int32),
+                keys, cfg, n_trials=cfg.cap.ransac_trials,
+            )
         )
-        meas, info, n_good, _good = build_loop_constraint(
-            ms, k, cand, midx, cfg
+        n_kp_h, n_mp_h, n_cur_h, n_good_h, bank_full = self._pull(
+            (n_kp_b, n_mp_b, n_cur_b, n_good_b, jnp.all(ms.ftr_valid))
         )
-        n_kp, n_mp, n_cur, n_good, bank_full = jax.device_get(
-            (n_kp, n_mp, n_cur, n_good, jnp.all(ms.ftr_valid))
+
+        # sparsified feature edges (one per passing candidate; the
+        # verify/chi2 gates play CreateFeatEdge's failure path)
+        for c, cand_c in enumerate(feat_cands):
+            if int(n_mp_h[c]) < 10 or int(n_good_h[c]) < 10:
+                continue
+            ms = add_ftr_edge(
+                ms, jnp.asarray(cand_c), jnp.asarray(k),
+                meas_b[c], info_b[c],
+            )
+        if loop_cand < 0:
+            return ms
+
+        n_kp, n_mp, n_cur, n_good = (
+            int(n_kp_h[-1]), int(n_mp_h[-1]),
+            int(n_cur_h[-1]), int(n_good_h[-1]),
         )
-        n_kp, n_mp, n_cur, n_good = map(int, (n_kp, n_mp, n_cur, n_good))
         if (
             n_mp < cfg.gm_vcl_num_min_match_mp
             or n_kp < cfg.gm_vcl_num_min_match_kp
@@ -865,8 +898,10 @@ class LoopCloser:
             # information edge so the verified closure still lands —
             # count the eviction (callers can raise MAX_FTR_EDGES)
             self.n_ftr_evicted += 1
+        cand = loop_cand
+        midx = midx_b[-1]
         ms = add_ftr_edge(
-            ms, jnp.asarray(cand), jnp.asarray(k), meas, info,
+            ms, jnp.asarray(cand), jnp.asarray(k), meas_b[-1], info_b[-1],
             evict_if_full=True,
         )
         ms = merge_loop_mps(ms, k, cand, midx)

@@ -177,6 +177,9 @@ def test_full_loop_closure_reduces_drift(rng):
             kf_gt[k] = gt[i]
             ms, _ = localmap.run_local_ba(ms, jnp.asarray(k), cfg)
             ms = closer.on_new_kf(ms, k)
+            # per-KF host-sync budget: ≤2 device pulls even when loop
+            # and/or feature-edge candidates fire (the batched verify)
+            assert closer.last_kf_pulls <= 2, closer.last_kf_pulls
             view, mask = localmap.kf_track_seed(ms, k)
             ts = tracking.init_track_state(
                 f, ms.kf_pose[k], jnp.asarray(odo[i]), k, view, mask
@@ -383,6 +386,9 @@ def test_loop_closes_before_kf12_with_bootstrap_vocab(rng):
             k = int(k)
             ms, _ = localmap.run_local_ba(ms, jnp.asarray(k), cfg)
             ms = closer.on_new_kf(ms, k)
+            # per-KF host-sync budget: ≤2 device pulls even when loop
+            # and/or feature-edge candidates fire (the batched verify)
+            assert closer.last_kf_pulls <= 2, closer.last_kf_pulls
             view, mask = localmap.kf_track_seed(ms, k)
             ts = tracking.init_track_state(
                 f, ms.kf_pose[k], jnp.asarray(odo[i]), k, view, mask
