@@ -36,8 +36,9 @@ from .solver.poseonly import solve_pose_only
 from .solver.sparsifier import marginalize_pair_constraint
 
 __all__ = [
-    "LoopCloser", "kf_features", "run_global_ba",
-    "build_global_ba", "run_global_ba_joint",
+    "LoopCloser", "kf_features", "run_global_ba", "run_global_ba_dist",
+    "build_global_ba", "build_pose_graph", "run_global_ba_joint",
+    "run_global_ba_joint_dist",
 ]
 
 
@@ -524,16 +525,22 @@ def _global_edge_graph(ms: MapState):
     return edge_i, edge_j, edge_meas, edge_info, edge_valid, fixed
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def run_global_ba(ms: MapState, iters: int = 15):
-    """Global pose-graph BA over all KFs + MP re-anchoring
-    (GlobalMapper::GlobalBA, src/GlobalMapper.cpp:328-535)."""
-    old_poses = ms.kf_pose
+# Huber on the graph edges: accumulated loop/feature constraints carry
+# estimation error from their mini-BAs; robustifying keeps a few bad
+# or over-confident edges from dragging a well-odometered trajectory
+POSE_GRAPH_HUBER = 3.0
+
+
+@jax.jit
+def build_pose_graph(ms: MapState) -> PoseGraphProblem:
+    """The GlobalBA pose-graph problem over the whole map — shared by
+    the single-device dense solver and the edge-sharded distributed
+    solver (parallel/dist_posegraph.py), so both optimize the identical
+    graph."""
     edge_i, edge_j, edge_meas, edge_info, edge_valid, fixed = (
         _global_edge_graph(ms)
     )
-
-    prob = PoseGraphProblem(
+    return PoseGraphProblem(
         poses=ms.kf_pose,
         pose_valid=ms.kf_valid,
         pose_fixed=fixed,
@@ -543,14 +550,14 @@ def run_global_ba(ms: MapState, iters: int = 15):
         edge_info=edge_info,
         edge_valid=edge_valid,
     )
-    # Huber on the graph edges: accumulated loop/feature constraints carry
-    # estimation error from their mini-BAs; robustifying keeps a few bad
-    # or over-confident edges from dragging a well-odometered trajectory
-    new_poses, info = solve_pose_graph(prob, iters=iters, huber_delta=3.0)
 
-    # re-anchor every MP rigidly with its main KF's pose correction
-    # (the reference re-derives positions from mainKF mViewMPs,
-    # src/GlobalMapper.cpp:506-531 — same transform)
+
+@jax.jit
+def apply_pose_graph_result(ms: MapState, new_poses) -> MapState:
+    """Write back corrected poses + re-anchor every MP rigidly with its
+    main KF's pose correction (the reference re-derives positions from
+    mainKF mViewMPs, src/GlobalMapper.cpp:506-531 — same transform)."""
+    old_poses = ms.kf_pose
     mk = jnp.clip(ms.mp_main_kf, 0)
     T_delta = jax.vmap(
         lambda n, o: se2.to_se3(n) @ se3.inv(se2.to_se3(o))
@@ -559,10 +566,37 @@ def run_global_ba(ms: MapState, iters: int = 15):
     new_mp = jnp.where(
         (ms.mp_valid & (ms.mp_main_kf >= 0))[:, None], new_mp, ms.mp_pos
     )
-    return (
-        ms._replace(kf_pose=new_poses, mp_pos=new_mp),
-        info,
+    return ms._replace(kf_pose=new_poses, mp_pos=new_mp)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def run_global_ba(ms: MapState, iters: int = 15):
+    """Global pose-graph BA over all KFs + MP re-anchoring
+    (GlobalMapper::GlobalBA, src/GlobalMapper.cpp:328-535)."""
+    prob = build_pose_graph(ms)
+    new_poses, info = solve_pose_graph(
+        prob, iters=iters, huber_delta=POSE_GRAPH_HUBER
     )
+    return apply_pose_graph_result(ms, new_poses), info
+
+
+def run_global_ba_dist(ms: MapState, mesh, iters: int = 15,
+                       cg_iters: int | None = None):
+    """Distributed GlobalBA: the same pose graph solved with edges
+    sharded over ``mesh`` (matrix-free PCG, parallel/dist_posegraph.py)
+    instead of the dense replicated factorization. Chain-dominated
+    graphs want cg_iters ≈ K to match the dense solve (see the
+    dist_posegraph docstring); the default uses the bank capacity."""
+    from .parallel.dist_posegraph import dist_solve_pose_graph
+
+    prob = build_pose_graph(ms)
+    if cg_iters is None:
+        cg_iters = int(ms.K)
+    new_poses, info = dist_solve_pose_graph(
+        prob, mesh, iters=iters, cg_iters=cg_iters,
+        huber_delta=POSE_GRAPH_HUBER, axis=mesh.axis_names[0],
+    )
+    return apply_pose_graph_result(ms, new_poses), info
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -634,44 +668,30 @@ def build_global_ba(ms: MapState, cfg: SystemConfig) -> BAProblem:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "iters"))
-def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
-    """Joint full-map pose+point LM refinement after a loop closure.
+@partial(jax.jit, static_argnames=("cfg",))
+def _joint_problem(ms: MapState, cfg: SystemConfig) -> BAProblem:
+    """build_global_ba + the pre-solve chi2 demotion gate — shared by
+    the single-device and distributed joint GBA paths.
 
-    Runs on the pose-graph-corrected, merge-fused map: the pose graph
-    (run_global_ba) spreads the loop correction along the trajectory,
-    then this polishes poses AND points against the reprojection
-    evidence (the loop's merged points are co-observed by both ends of
-    the loop, so the closure is held by image measurements, not just the
-    single marginalized SE2 edge). Returns (MapState, info)."""
-    dtype = ms.kf_pose.dtype
+    Observations already inconsistent at the pose-graph-corrected input
+    state are demoted (the removeOutlierChi2 gate,
+    src/LocalMapper.cpp:172-230, applied where the reference never
+    needed it: its GlobalBA has no reprojection edges, ours optimizes
+    against ALL accumulated observations — stale associations and
+    loop-merge transfers would otherwise bias the joint objective away
+    from the true trajectory)."""
     cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
-    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    Tcb = jnp.asarray(cfg.Tcb_mat, ms.kf_pose.dtype)
     prob = build_global_ba(ms, cfg)
-    # demote observations already inconsistent at the pose-graph-corrected
-    # input state (the removeOutlierChi2 gate, src/LocalMapper.cpp:172-230,
-    # applied where the reference never needed it: its GlobalBA has no
-    # reprojection edges, ours optimizes against ALL accumulated
-    # observations — stale associations and loop-merge transfers would
-    # otherwise bias the joint objective away from the true trajectory)
     chi_in = obs_chi2(prob, cam, Tcb)
-    prob = prob._replace(
+    return prob._replace(
         obs_valid=prob.obs_valid & (chi_in < cfg.th_huber2)
     )
-    ba_cfg = BAConfig(
-        iters=iters,
-        huber_delta=float(cfg.th_huber2) ** 0.5,
-        # build_global_ba enumerates observations as the M×P grid of the
-        # inverse tables — let the assembly reshape-sum the point blocks
-        obs_grid_p=int(ms.mp_obs_kf.shape[1]),
-        # full-map problems start from an outlier-contaminated state
-        # where the barely-damped GN step overshoots; starting at 1e-4
-        # burns most of a short iteration budget on rejected steps
-        # before lambda grows large enough (measured: 3 of 6 closures
-        # rejected all 5 steps at 1e-4)
-        lm_init_lambda=1e-2,
-    )
-    poses, points, info = solve_local_ba(prob, cam, Tcb, ba_cfg)
+
+
+@jax.jit
+def _joint_apply(ms: MapState, prob: BAProblem, poses, points) -> MapState:
+    """Write the joint solution back into the map state."""
     free = prob.pose_valid & ~prob.pose_fixed
     new_kf_pose = jnp.where(free[:, None], poses, ms.kf_pose)
     # points outside the joint solve (bad parallax, excluded via
@@ -690,7 +710,66 @@ def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
         points,
         jnp.where(ride[:, None], anchored, ms.mp_pos),
     )
-    return ms._replace(kf_pose=new_kf_pose, mp_pos=new_mp_pos), info
+    return ms._replace(kf_pose=new_kf_pose, mp_pos=new_mp_pos)
+
+
+def _joint_ba_cfg(ms: MapState, cfg: SystemConfig, iters: int,
+                  grid: bool) -> BAConfig:
+    return BAConfig(
+        iters=iters,
+        huber_delta=float(cfg.th_huber2) ** 0.5,
+        # build_global_ba enumerates observations as the M×P grid of the
+        # inverse tables — let the single-device assembly reshape-sum the
+        # point blocks (the distributed partition re-buckets observations
+        # by owning block, destroying the grid layout, so it accumulates
+        # generically)
+        obs_grid_p=int(ms.mp_obs_kf.shape[1]) if grid else 0,
+        # full-map problems start from an outlier-contaminated state
+        # where the barely-damped GN step overshoots; starting at 1e-4
+        # burns most of a short iteration budget on rejected steps
+        # before lambda grows large enough (measured: 3 of 6 closures
+        # rejected all 5 steps at 1e-4)
+        lm_init_lambda=1e-2,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "iters"))
+def run_global_ba_joint(ms: MapState, cfg: SystemConfig, iters: int = 5):
+    """Joint full-map pose+point LM refinement after a loop closure.
+
+    Runs on the pose-graph-corrected, merge-fused map: the pose graph
+    (run_global_ba) spreads the loop correction along the trajectory,
+    then this polishes poses AND points against the reprojection
+    evidence (the loop's merged points are co-observed by both ends of
+    the loop, so the closure is held by image measurements, not just the
+    single marginalized SE2 edge). Returns (MapState, info)."""
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, ms.kf_pose.dtype)
+    prob = _joint_problem(ms, cfg)
+    poses, points, info = solve_local_ba(
+        prob, cam, Tcb, _joint_ba_cfg(ms, cfg, iters, grid=True)
+    )
+    return _joint_apply(ms, prob, poses, points), info
+
+
+def run_global_ba_joint_dist(
+    ms: MapState, cfg: SystemConfig, mesh, iters: int = 5
+):
+    """Distributed joint full-map GBA: the identical problem solved with
+    the map-point axis partitioned over ``mesh`` (points, observations,
+    and the pose–point coupling blocks never replicated; one psum of
+    Schur-reduced camera systems per LM iteration —
+    parallel/dist_ba.py). Returns (MapState, info)."""
+    from .parallel.dist_ba import sharded_solve_local_ba
+
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, ms.kf_pose.dtype)
+    prob = _joint_problem(ms, cfg)
+    poses, points, info = sharded_solve_local_ba(
+        prob, cam, Tcb, _joint_ba_cfg(ms, cfg, iters, grid=False), mesh,
+        axis=mesh.axis_names[0],
+    )
+    return _joint_apply(ms, prob, poses, points), info
 
 
 class LoopCloser:
@@ -704,9 +783,18 @@ class LoopCloser:
         min_kfs_to_train: int = 2,
         retrain_factor: float = 2.0,
         global_ba_iters: int | None = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.n_words = n_words
+        # optional jax.sharding.Mesh: with >1 device the global solvers
+        # and the BoW bank run sharded (BASELINE north-star config 5 —
+        # the distributed SLAM engine, not just shelf solvers):
+        #   GlobalBA        → edge-sharded matrix-free PCG
+        #   joint full-map  → map-block partitioned Schur-GN
+        #   DetectLoopClose → KF-bank-sharded L1 scoring
+        self.mesh = mesh
+        self._dist = mesh is not None and mesh.devices.size > 1
         # vocabulary lifecycle: bootstrap as soon as min_kfs_to_train
         # keyframes exist (so loops among the FIRST keyframes of a fresh
         # run can close), then retrain whenever the map grows by
@@ -765,7 +853,17 @@ class LoopCloser:
         v, _ = jax.vmap(
             lambda d, m: vocab_mod.bow_transform(self.vocab, d, m)
         )(ms.kf_desc, ms.kf_feat_valid & ms.kf_valid[:, None])
-        self.bank = v
+        self.bank = self._place_bank(v)
+
+    def _place_bank(self, bank):
+        """Under a mesh, keep the (K, W) BoW bank sharded along the KF
+        axis (parallel/dist_loop.shard_bank) so DetectLoopClose scales
+        with devices; per-row updates preserve the sharding."""
+        if self._dist and bank.shape[0] % self.mesh.devices.size == 0:
+            from .parallel.dist_loop import shard_bank
+
+            return shard_bank(bank, self.mesh, axis=self.mesh.axis_names[0])
+        return bank
 
     def _ensure_vocab(self, ms: MapState, n_inserts: int):
         fresh_enough = (
@@ -805,20 +903,22 @@ class LoopCloser:
         cands_dev = select_feat_pairs(ms, k)
         cfg = self.cfg
         if have_vocab:
+            from .parallel.dist_loop import sharded_bow_detect
+
             v, _ = vocab_mod.bow_transform(
                 self.vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
             )
             self.bank = self.bank.at[k].set(v)
-            scores = vocab_mod.bow_score(self.bank, v)
             ids = jnp.arange(ms.K)
             eligible = (
                 ms.kf_valid
                 & (ids <= k - cfg.gm_dcl_min_kfid_offset)
             )
-            scores = jnp.where(eligible, scores, -jnp.inf)
-            cands, cand, best = self._pull(
-                (cands_dev, jnp.argmax(scores), jnp.max(scores))
-            )
+            # DetectLoopClose over the (possibly KF-sharded) bank: XLA
+            # partitions the L1 reduction + argmax along the bank's
+            # sharding (parallel/dist_loop.py)
+            best_i, best_s = sharded_bow_detect(self.bank, v, eligible)
+            cands, cand, best = self._pull((cands_dev, best_i, best_s))
         else:
             cands = self._pull(cands_dev)
             cand = best = None
@@ -905,13 +1005,23 @@ class LoopCloser:
             evict_if_full=True,
         )
         ms = merge_loop_mps(ms, k, cand, midx)
-        ms, gba_info = run_global_ba(ms, iters=self.global_ba_iters)
+        if self._dist:
+            ms, gba_info = run_global_ba_dist(
+                ms, self.mesh, iters=self.global_ba_iters
+            )
+        else:
+            ms, gba_info = run_global_ba(ms, iters=self.global_ba_iters)
         if cfg.gm_joint_ba_iters > 0:
             # polish poses AND points against the reprojection evidence
             # (the pose graph only spreads the single loop edge)
-            ms, joint_info = run_global_ba_joint(
-                ms, cfg, iters=cfg.gm_joint_ba_iters
-            )
+            if self._dist:
+                ms, joint_info = run_global_ba_joint_dist(
+                    ms, cfg, self.mesh, iters=cfg.gm_joint_ba_iters
+                )
+            else:
+                ms, joint_info = run_global_ba_joint(
+                    ms, cfg, iters=cfg.gm_joint_ba_iters
+                )
             gba_info = {**gba_info, "joint": joint_info}
         self.n_loops_closed += 1
         self.last_loop = (cand, k)

@@ -70,8 +70,18 @@ class SlamSystem:
         slam.save_kf_trajectory(path)
     """
 
-    def __init__(self, cfg: SystemConfig, enable_loops: bool = True):
+    def __init__(self, cfg: SystemConfig, enable_loops: bool = True,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh``. With >1 device the
+        global mapping stage runs distributed — pose-graph GlobalBA as
+        edge-sharded matrix-free PCG, joint full-map GBA as map-block
+        partitioned Schur-GN, loop detection over a KF-sharded BoW bank
+        (parallel/{dist_posegraph,dist_ba,dist_loop}.py). Tracking and
+        the local window stay single-device: they are latency-bound at
+        window scale, and the map lives replicated for them either way.
+        """
         self.cfg = cfg
+        self.mesh = mesh
         self.orb_cfg = OrbConfig(
             height=cfg.height,
             width=cfg.width,
@@ -128,7 +138,7 @@ class SlamSystem:
         if enable_loops:
             from .loopclose import LoopCloser
 
-            self._loop_closer = LoopCloser(cfg)
+            self._loop_closer = LoopCloser(cfg, mesh=mesh)
         else:
             self._loop_closer = None
         self._pending_odo = None
@@ -138,7 +148,7 @@ class SlamSystem:
 
     @classmethod
     def resume(cls, cfg: SystemConfig, map_path: str,
-               enable_loops: bool = True) -> "SlamSystem":
+               enable_loops: bool = True, mesh=None) -> "SlamSystem":
         """Continue SLAM on a previously saved map (the reference's
         USE_PREV_MAP mode, src/OdoSLAM.cpp:112-115 + MapStorage::loadMap).
 
@@ -168,7 +178,7 @@ class SlamSystem:
                 "saved map is at keyframe capacity; no slot for the "
                 "relocalization seed — raise cap.max_kfs"
             )
-        slam = cls(cfg, enable_loops=enable_loops)
+        slam = cls(cfg, enable_loops=enable_loops, mesh=mesh)
         slam.ms = ms
         # kf_frame_ids must stay slot-indexed (index == slot); loaded
         # keyframes have no session frame id — prefill with -1 so the
