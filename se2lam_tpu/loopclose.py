@@ -891,13 +891,23 @@ class LoopCloser:
         self._trained_at_nkf = n_inserts
         return True
 
-    def on_new_kf(self, ms: MapState, k) -> MapState:
+    def start_async(self, ms: MapState, k) -> dict:
+        """Stage A of the per-KF loop pipeline: vocabulary lifecycle,
+        feat-edge candidate selection, and the BoW detect — DISPATCH
+        ONLY, no host sync. Returns a pending record whose ``want``
+        device scalars the caller fetches at its own convenience (riding
+        an existing control pull) before calling ``advance``.
+
+        This is the TPU-native analog of the reference's thread overlap
+        (GlobalMapper::run works while Track keeps tracking,
+        src/OdoSLAM.cpp:142-150): tracking dispatches never wait for the
+        loop stage, whose results land retroactively."""
         k = int(k)
         self.last_kf_pulls = 0
         self._n_inserts += 1
         have_vocab = self._ensure_vocab(ms, n_inserts=self._n_inserts)
         # dispatch the feat-edge candidate selection AND the BoW detect
-        # BEFORE fetching, so both come back in ONE ~30 ms tunnel pull.
+        # together, so both come back in ONE pull.
         # select_feat_pairs reads the pre-feat-edge graph and the detect
         # reads only (bank, desc), so the order change is behavior-free.
         cands_dev = select_feat_pairs(ms, k)
@@ -918,55 +928,80 @@ class LoopCloser:
             # partitions the L1 reduction + argmax along the bank's
             # sharding (parallel/dist_loop.py)
             best_i, best_s = sharded_bow_detect(self.bank, v, eligible)
-            cands, cand, best = self._pull((cands_dev, best_i, best_s))
+            want = (cands_dev, best_i, best_s)
         else:
-            cands = self._pull(cands_dev)
-            cand = best = None
+            want = (cands_dev,)
+        return {"stage": "detect", "k": k, "have_vocab": have_vocab,
+                "want": want}
 
-        # loop-candidate eligibility decided host-side BEFORE dispatch:
-        # the temporal throttle (consecutive keyframes revisiting the
-        # same place would close near-duplicate loops whose correlated
-        # errors pile up in the pose graph) and the BoW score gate
-        # (DetectLoopClose accept, src/GlobalMapper.cpp:206-254)
-        throttled = (
-            self.last_loop is not None
-            and k - self.last_loop[1] < self.min_kfs_between_loops
-        )
-        loop_cand = -1
-        if (
-            have_vocab
-            and not throttled
-            and float(best) >= cfg.gm_dcl_min_score_best
-        ):
-            loop_cand = int(cand)
+    def advance(self, ms: MapState, pending: dict, fetched):
+        """Consume the host values fetched for ``pending["want"]`` and
+        run the next pipeline stage. Returns (ms, next_pending | None,
+        closed: bool) — ``closed`` tells the caller a global correction
+        moved keyframe poses (its tracking gauge must be re-based)."""
+        cfg = self.cfg
+        k = pending["k"]
+        if pending["stage"] == "detect":
+            if pending["have_vocab"]:
+                cands, cand, best = fetched
+            else:
+                (cands,) = fetched
+                cand = best = None
 
-        # ONE batched verify + constraint-build dispatch for ALL
-        # feature-edge candidates (Map::UpdateFeatGraph,
-        # src/Map.cpp:857-889) plus the loop candidate in the last slot,
-        # and ONE pull for every gate scalar — per-KF host syncs stay ≤2
-        # even when candidates fire (previously each feat-edge candidate
-        # cost its own ~30 ms tunnel round-trip)
-        feat_cands = [int(c) for c in cands if int(c) >= 0]
-        if loop_cand < 0 and not feat_cands:
-            return ms
-        # two compiled widths only: 1 (the common loop-candidate-only
-        # case — padding to 5 would 5× the verify compute per eligible
-        # KF) and max_cands+1 (any feat-edge candidates present)
-        C = 1 if not feat_cands else len(cands) + 1
-        vec = np.full((C,), -1, np.int64)
-        vec[: len(feat_cands)] = feat_cands
-        vec[-1] = loop_cand
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, C)
-        midx_b, n_kp_b, n_mp_b, n_cur_b, meas_b, info_b, n_good_b = (
-            verify_and_build_batch(
-                ms, k, jnp.asarray(np.clip(vec, 0, None), jnp.int32),
-                keys, cfg, n_trials=cfg.cap.ransac_trials,
+            # loop-candidate eligibility decided host-side BEFORE
+            # dispatch: the temporal throttle (consecutive keyframes
+            # revisiting the same place would close near-duplicate loops
+            # whose correlated errors pile up in the pose graph) and the
+            # BoW score gate (DetectLoopClose accept,
+            # src/GlobalMapper.cpp:206-254)
+            throttled = (
+                self.last_loop is not None
+                and k - self.last_loop[1] < self.min_kfs_between_loops
             )
-        )
-        n_kp_h, n_mp_h, n_cur_h, n_good_h, bank_full = self._pull(
-            (n_kp_b, n_mp_b, n_cur_b, n_good_b, jnp.all(ms.ftr_valid))
-        )
+            loop_cand = -1
+            if (
+                pending["have_vocab"]
+                and not throttled
+                and float(best) >= cfg.gm_dcl_min_score_best
+            ):
+                loop_cand = int(cand)
+
+            # ONE batched verify + constraint-build dispatch for ALL
+            # feature-edge candidates (Map::UpdateFeatGraph,
+            # src/Map.cpp:857-889) plus the loop candidate in the last
+            # slot, and ONE pull for every gate scalar — per-KF host
+            # syncs stay ≤2 even when candidates fire
+            feat_cands = [int(c) for c in cands if int(c) >= 0]
+            if loop_cand < 0 and not feat_cands:
+                return ms, None, False
+            # two compiled widths only: 1 (the common loop-candidate-
+            # only case — padding to 5 would 5× the verify compute per
+            # eligible KF) and max_cands+1 (feat candidates present)
+            C = 1 if not feat_cands else len(cands) + 1
+            vec = np.full((C,), -1, np.int64)
+            vec[: len(feat_cands)] = feat_cands
+            vec[-1] = loop_cand
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, C)
+            midx_b, n_kp_b, n_mp_b, n_cur_b, meas_b, info_b, n_good_b = (
+                verify_and_build_batch(
+                    ms, k, jnp.asarray(np.clip(vec, 0, None), jnp.int32),
+                    keys, cfg, n_trials=cfg.cap.ransac_trials,
+                )
+            )
+            return ms, {
+                "stage": "gates", "k": k,
+                "feat_cands": feat_cands, "loop_cand": loop_cand,
+                "midx_b": midx_b, "meas_b": meas_b, "info_b": info_b,
+                "want": (n_kp_b, n_mp_b, n_cur_b, n_good_b,
+                         jnp.all(ms.ftr_valid)),
+            }, False
+
+        assert pending["stage"] == "gates"
+        feat_cands = pending["feat_cands"]
+        loop_cand = pending["loop_cand"]
+        meas_b, info_b = pending["meas_b"], pending["info_b"]
+        n_kp_h, n_mp_h, n_cur_h, n_good_h, bank_full = fetched
 
         # sparsified feature edges (one per passing candidate; the
         # verify/chi2 gates play CreateFeatEdge's failure path)
@@ -978,7 +1013,7 @@ class LoopCloser:
                 meas_b[c], info_b[c],
             )
         if loop_cand < 0:
-            return ms
+            return ms, None, False
 
         n_kp, n_mp, n_cur, n_good = (
             int(n_kp_h[-1]), int(n_mp_h[-1]),
@@ -989,9 +1024,9 @@ class LoopCloser:
             or n_kp < cfg.gm_vcl_num_min_match_kp
             or n_mp < cfg.gm_vcl_ratio_min_match_mp * max(n_cur, 1)
         ):
-            return ms
+            return ms, None, False
         if n_good < cfg.gm_vcl_num_min_match_mp:
-            return ms
+            return ms, None, False
 
         if bool(bank_full):
             # constraint bank full: add_ftr_edge evicts its lowest-
@@ -999,7 +1034,7 @@ class LoopCloser:
             # count the eviction (callers can raise MAX_FTR_EDGES)
             self.n_ftr_evicted += 1
         cand = loop_cand
-        midx = midx_b[-1]
+        midx = pending["midx_b"][-1]
         ms = add_ftr_edge(
             ms, jnp.asarray(cand), jnp.asarray(k), meas_b[-1], info_b[-1],
             evict_if_full=True,
@@ -1027,4 +1062,15 @@ class LoopCloser:
         self.last_loop = (cand, k)
         self.last_loop_midx = midx          # for the debug-image loop pane
         self.last_global_ba_info = gba_info
+        return ms, None, True
+
+    def on_new_kf(self, ms: MapState, k) -> MapState:
+        """Synchronous driver: run the staged pipeline to completion
+        (the behavior every stage-level test pins down; the async path
+        in SlamSystem runs the identical stages, only the fetch timing
+        differs)."""
+        pending = self.start_async(ms, k)
+        while pending is not None:
+            fetched = self._pull(pending["want"])
+            ms, pending, _closed = self.advance(ms, pending, fetched)
         return ms

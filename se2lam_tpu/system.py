@@ -71,7 +71,7 @@ class SlamSystem:
     """
 
     def __init__(self, cfg: SystemConfig, enable_loops: bool = True,
-                 mesh=None):
+                 mesh=None, async_mapping: bool = True):
         """``mesh``: optional ``jax.sharding.Mesh``. With >1 device the
         global mapping stage runs distributed — pose-graph GlobalBA as
         edge-sharded matrix-free PCG, joint full-map GBA as map-block
@@ -79,9 +79,27 @@ class SlamSystem:
         (parallel/{dist_posegraph,dist_ba,dist_loop}.py). Tracking and
         the local window stay single-device: they are latency-bound at
         window scale, and the map lives replicated for them either way.
+
+        ``async_mapping``: overlap the loop-closing stage with tracking
+        (the reference's Track ∥ GlobalMapper thread concurrency,
+        src/OdoSLAM.cpp:142-150): per keyframe, detection is dispatched
+        without waiting and its host pulls ride the NEXT frames'
+        control pull; a verified closure applies retroactively (before
+        the next keyframe insertion at the latest) and the live tracking
+        gauge is re-based on the corrected reference pose — exactly the
+        retro-correction the frame anchors already implement. The final
+        map and corrected trajectory match the synchronous mode; only
+        live poses in the closure→apply window stay in the pre-closure
+        gauge (as they do in the reference, which never waits either).
         """
         self.cfg = cfg
         self.mesh = mesh
+        self.async_mapping = async_mapping
+        # deferred loop-stage machine: pending record from
+        # LoopCloser.start_async/advance + its fetched-but-unconsumed
+        # host values
+        self._loop_pending = None
+        self._loop_fetched = None
         self.orb_cfg = OrbConfig(
             height=cfg.height,
             width=cfg.width,
@@ -396,6 +414,10 @@ class SlamSystem:
         self._frame_anchors.append(
             (self.frame_id, self._ref_kf_host, self._anchor_rel(pose))
         )
+        # advance the deferred loop stage with the values that rode this
+        # frame's pull (after the anchor: its rel must pair with the
+        # mirror value tracking actually used for this frame's pose)
+        self._advance_loop()
 
         if bool(need_kf):
             if int(n_kf) >= cfg.cap.max_kfs:
@@ -445,17 +467,30 @@ class SlamSystem:
 
     def _pull_with_mirror(self, *arrays):
         """device_get ``arrays``, carrying any pending reference-KF
-        mirror along in the SAME pull (the deferred-fetch contract: a
-        keyframe insertion costs no dedicated mirror sync)."""
+        mirror — and any pending loop-stage gate scalars (async_mapping)
+        — along in the SAME pull (the deferred-fetch contract: neither a
+        keyframe insertion nor the loop pipeline costs dedicated
+        syncs)."""
+        n = len(arrays)
+        tail = arrays
         pend = getattr(self, "_mirror_pending", None)
-        if pend is None:
-            return jax.device_get(arrays)
-        k_dev, pose_dev, fix_idx, fid = pend
-        out = jax.device_get(arrays + (k_dev, pose_dev))
-        self._apply_mirror(
-            int(out[-2]), np.asarray(out[-1], np.float32), fix_idx, fid
-        )
-        return out[:-2]
+        if pend is not None:
+            k_dev, pose_dev, fix_idx, fid = pend
+            tail = tail + (k_dev, pose_dev)
+        n_mir = len(tail)
+        lp = self._loop_pending
+        fetch_loop = lp is not None and self._loop_fetched is None
+        if fetch_loop:
+            tail = tail + tuple(lp["want"])
+        out = jax.device_get(tail)
+        if pend is not None:
+            self._apply_mirror(
+                int(out[n]), np.asarray(out[n + 1], np.float32),
+                fix_idx, fid,
+            )
+        if fetch_loop:
+            self._loop_fetched = tuple(out[n_mir:])
+        return out[:n]
 
     def _apply_mirror(self, kf_slot: int, ref_pose: np.ndarray,
                       fix_idx, fid):
@@ -472,6 +507,63 @@ class SlamSystem:
             self._frame_anchors[fix_idx] = (
                 fid, kf_slot, np.zeros(3, np.float32)
             )
+
+    # ---- deferred loop-closing stage (async_mapping) ----
+
+    def _advance_loop(self, block: bool = False):
+        """Advance the pending loop-stage machine.
+
+        Non-blocking (default): consume host values that already rode a
+        control pull, run the next stage's host logic + dispatches, and
+        leave the new stage's scalars to ride the NEXT pull — the loop
+        pipeline then costs tracking zero dedicated syncs. ``block``
+        forces completion (pulls directly; by then the device values
+        have long been computed, so each pull costs ~RTT, not compute).
+        """
+        lc = self._loop_closer
+        while self._loop_pending is not None:
+            if self._loop_fetched is None:
+                if not block:
+                    return
+                self._loop_fetched = lc._pull(self._loop_pending["want"])
+            fetched = self._loop_fetched
+            self._loop_fetched = None
+            self.ms, self._loop_pending, closed = lc.advance(
+                self.ms, self._loop_pending, fetched
+            )
+            if closed:
+                self._rebase_gauge()
+            if not block and self._loop_pending is not None:
+                return
+
+    def _finish_loop_pending(self):
+        self._advance_loop(block=True)
+
+    def _rebase_gauge(self):
+        """A retroactive global correction moved the reference keyframe:
+        re-base the live tracking gauge on its corrected pose (the
+        reference's Track reads the shared map pose the same way after
+        GlobalBA writes back, src/GlobalMapper.cpp:496-531). Everything
+        else in TrackState is relative/ref-camera-frame and therefore
+        gauge-free. The host pose mirror refreshes through the deferred-
+        fetch path so no sync is spent here."""
+        ts = self.ts
+        if ts is None:
+            return
+        new_ref = self.ms.kf_pose[ts.ref_kf_idx]
+        self.ts = ts._replace(
+            ref_pose=new_ref,
+            cur_pose=se2.compose(
+                new_ref, se2.minus(ts.cur_pose, ts.ref_pose)
+            ),
+        )
+        mir = getattr(self, "_mirror_pending", None)
+        if mir is not None:
+            # an unflushed mirror from this reference's insertion: keep
+            # its anchor fix, refresh only the pose value
+            self._mirror_pending = (mir[0], new_ref, mir[2], mir[3])
+        else:
+            self._mirror_pending = (ts.ref_kf_idx, new_ref, None, -1)
 
     def process_chunk(self, imgs, odos, next_imgs=None) -> np.ndarray:
         """Feed ``k`` (image, odometry) pairs with ONE keyframe-decision
@@ -563,6 +655,12 @@ class SlamSystem:
                             cfg,
                         )
                     self.ts = ts_j
+                    # advance the deferred loop stage with the values
+                    # that rode this segment's pull — AFTER self.ts is
+                    # current (a closure re-bases the live gauge) and
+                    # after the replay dispatch (which then overlaps any
+                    # remaining blocking pull inside _insert_keyframe)
+                    self._advance_loop()
                     if int(n_kf) >= cfg.cap.max_kfs:
                         self._relieve_capacity()
                     else:
@@ -580,6 +678,7 @@ class SlamSystem:
 
             if fire is None:
                 self.ts = ts_f
+                self._advance_loop()
                 break
             i = fire + 1
         return np.asarray(poses_out, np.float32).reshape(-1, 3)
@@ -593,6 +692,9 @@ class SlamSystem:
         the relaxed bar frees nothing (the map is genuinely dense) —
         mapping pauses, tracking coasts on odometry, and the next
         pressure event retries."""
+        # compaction remaps slots; a pending loop stage holds slot ids
+        # and per-slot device arrays — land it first
+        self._finish_loop_pending()
         cfg = self.cfg
         ref = jnp.asarray(self._ref_kf_host, jnp.int32)
         # low-water target: free ~1/8 of the bank per relief event so the
@@ -711,6 +813,12 @@ class SlamSystem:
                 # different keyframe's matches
 
     def _insert_keyframe(self, feats: OrbFeatures, odo):
+        # the previous keyframe's loop stage must land before this one's
+        # pose/map bake in (merge + GlobalBA rewrite the state the new
+        # keyframe chains from); by now its device values are computed,
+        # so any remaining pull costs ~RTT, overlapped with the replay
+        # scan the chunked caller just dispatched
+        self._finish_loop_pending()
         cfg, ts = self.cfg, self.ts
         t0 = time.perf_counter()
         self.ms, k = localmap.add_keyframe(
@@ -764,7 +872,16 @@ class SlamSystem:
 
         if self.enable_loops and self._loop_closer is not None:
             t0 = time.perf_counter()
-            self.ms = self._loop_closer.on_new_kf(self.ms, k)
+            if self.async_mapping:
+                # dispatch-only: the detect scalars ride the next
+                # control pull and the stage advances between frames
+                # (Track ∥ GlobalMapper overlap, src/OdoSLAM.cpp:142-150)
+                self._loop_pending = self._loop_closer.start_async(
+                    self.ms, k
+                )
+                self._loop_fetched = None
+            else:
+                self.ms = self._loop_closer.on_new_kf(self.ms, k)
             self.timings["loop"] = time.perf_counter() - t0
 
         # reset tracking against the (BA-refined) new reference KF
@@ -842,6 +959,7 @@ class SlamSystem:
 
     def kf_trajectory(self) -> np.ndarray:
         """(nKF, 5) rows of [idKF, x, y, z, yaw] in the reference format."""
+        self._finish_loop_pending()
         n = int(self.ms.n_kf)
         poses = np.asarray(self.ms.kf_pose[:n])
         valid = np.asarray(self.ms.kf_valid[:n])
@@ -868,6 +986,7 @@ class SlamSystem:
         loop closures. (The live `trajectory` list keeps the poses as
         they were published; the reference offers only the final KF dump,
         src/OdoSLAM.cpp:199-214.)"""
+        self._finish_loop_pending()   # a deferred closure must land first
         self._flush_mirror()   # a pending anchor fix must land first
         kf_pose = np.asarray(self.ms.kf_pose)   # one device fetch
         anchors = {fid: (ref, rel) for fid, ref, rel in self._frame_anchors}
@@ -904,17 +1023,21 @@ class SlamSystem:
         return self.current_pose()
 
     def request_finish(self):
-        """OdoSLAM::requestFinish. The pipeline is synchronous — there
-        are no threads to signal — so this only marks the session done."""
+        """OdoSLAM::requestFinish — lands any deferred loop stage and
+        marks the session done."""
+        self._finish_loop_pending()
         self._finished = True
 
     def wait_for_finish(self):
-        """OdoSLAM::waitForFinish — immediate in the synchronous design."""
+        """OdoSLAM::waitForFinish — drains the deferred loop stage (the
+        only 'thread' the functional design has in flight)."""
+        self._finish_loop_pending()
         self._finished = True
 
     def save_map(self, path: str, with_vocab: bool = True):
         """OdoSLAM's shutdown save (SAVE_NEW_MAP + the KF-trajectory
         dump, src/OdoSLAM.cpp:192-215): map checkpoint + trajectory txt."""
+        self._finish_loop_pending()
         from .io.mapstorage import save_map as _save
 
         vocab = self._loop_closer.vocab if self._loop_closer else None
@@ -948,4 +1071,5 @@ class SlamSystem:
         return int(self.ms.n_kf)
 
     def n_map_points(self) -> int:
+        self._finish_loop_pending()   # a deferred merge changes the count
         return int(jnp.sum(self.ms.mp_valid))
