@@ -191,6 +191,14 @@ class SystemConfig:
     # joint full-map pose+point LM refinement after each loop closure
     # (beyond the reference's pose-graph-only GlobalBA; 0 disables)
     gm_joint_ba_iters: int = 5
+    # pose-graph GlobalBA edge robustifier (sqrt-chi2 kink) and the
+    # eigenvalue ceiling of sparsified loop/feature-edge information
+    # (the Sparsifier clamp, src/sparsifier.cpp:239-263 uses 1e4) —
+    # calibrated by artifacts/drift_study_r4: an uncapped-stiff loop
+    # edge under a tight Huber made pose-graph-only closures drag the
+    # trajectory (r3 VERDICT weak #1)
+    gm_pg_huber: float = 3.0
+    gm_loop_info_ceil: float = 1e4
 
     # map IO (src/Config.cpp:165-176)
     use_prev_map: bool = False

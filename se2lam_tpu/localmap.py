@@ -668,6 +668,59 @@ def recompute_covis(ms: MapState) -> MapState:
 
 
 @jax.jit
+def cull_weak_mps(ms: MapState, n_keep, protect_kf):
+    """Invalidate the weakest valid map points until ≤ ``n_keep`` live —
+    the map-point side of the capacity-pressure response (the KF side is
+    the system shell's forced prune; the reference never frees memory,
+    src/Map.cpp:146-283 is the machinery this extends).
+
+    Weakness order: fewest observers first, bad-parallax before good
+    (the reference's own cull criterion, MapPoint::updateParallax kills
+    no-parallax points, src/MapPoint.cpp:181-184), oldest slot first
+    among ties (slot indices are insertion-ordered, so long-unpromoted
+    points go before freshly minted ones). Points observed by
+    ``protect_kf`` (the live tracking reference) are never culled —
+    inherit-based association reads its observation row next insert.
+
+    Clears both observation tables for culled points (the forward/
+    inverse consistency invariant, tests/test_prune.check_consistency).
+    Returns (MapState, n_culled).
+    """
+    M = ms.M
+    f32 = jnp.float32
+    obs_by_ref = jnp.zeros((M,), bool).at[
+        jnp.where(ms.kf_obs_mp[protect_kf] >= 0,
+                  jnp.clip(ms.kf_obs_mp[protect_kf], 0), M)
+    ].set(True, mode="drop")
+    score = (
+        ms.mp_n_obs.astype(f32)
+        + 16.0 * ms.mp_good_prl.astype(f32)
+        + 1e6 * obs_by_ref.astype(f32)
+    )
+    score = jnp.where(ms.mp_valid, score, jnp.inf)
+    n_valid = jnp.sum(ms.mp_valid.astype(jnp.int32))
+    n_cull = jnp.maximum(n_valid - jnp.asarray(n_keep, jnp.int32), 0)
+    order = jnp.argsort(score, stable=True)          # weakest first
+    cull = jnp.zeros((M,), bool).at[order].set(
+        jnp.arange(M) < n_cull
+    )
+    cull = cull & ms.mp_valid & ~obs_by_ref
+    kf_obs = jnp.where(
+        (ms.kf_obs_mp >= 0) & cull[jnp.clip(ms.kf_obs_mp, 0)],
+        -1, ms.kf_obs_mp,
+    )
+    mp_obs_kf = jnp.where(cull[:, None], -1, ms.mp_obs_kf)
+    mp_obs_ft = jnp.where(cull[:, None], -1, ms.mp_obs_feat)
+    return ms._replace(
+        mp_valid=ms.mp_valid & ~cull,
+        kf_obs_mp=kf_obs,
+        mp_obs_kf=mp_obs_kf,
+        mp_obs_feat=mp_obs_ft,
+        mp_n_obs=jnp.where(cull, 0, ms.mp_n_obs),
+    ), jnp.sum(cull.astype(jnp.int32))
+
+
+@jax.jit
 def compact_map(ms: MapState):
     """Renumber keyframe and map-point slots so all valid entries are
     contiguous from 0, freeing the tail for new insertions.

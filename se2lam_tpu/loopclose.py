@@ -265,7 +265,7 @@ def build_loop_constraint(ms: MapState, k, cand, match_idx, cfg: SystemConfig):
     info = Jj_inv.T @ H @ Jj_inv
     info = 0.5 * (info + info.T)
     evals, evecs = jnp.linalg.eigh(info)
-    evals = jnp.clip(evals, 1e-6, 1e4)
+    evals = jnp.clip(evals, 1e-6, cfg.gm_loop_info_ceil)
     info = (evecs * evals[None, :]) @ evecs.T
     return meas, info, jnp.sum(good.astype(jnp.int32)), good
 
@@ -570,18 +570,18 @@ def apply_pose_graph_result(ms: MapState, new_poses) -> MapState:
 
 
 @partial(jax.jit, static_argnames=("iters",))
-def run_global_ba(ms: MapState, iters: int = 15):
+def run_global_ba(ms: MapState, iters: int = 15,
+                  huber: float = POSE_GRAPH_HUBER):
     """Global pose-graph BA over all KFs + MP re-anchoring
     (GlobalMapper::GlobalBA, src/GlobalMapper.cpp:328-535)."""
     prob = build_pose_graph(ms)
-    new_poses, info = solve_pose_graph(
-        prob, iters=iters, huber_delta=POSE_GRAPH_HUBER
-    )
+    new_poses, info = solve_pose_graph(prob, iters=iters, huber_delta=huber)
     return apply_pose_graph_result(ms, new_poses), info
 
 
 def run_global_ba_dist(ms: MapState, mesh, iters: int = 15,
-                       cg_iters: int | None = None):
+                       cg_iters: int | None = None,
+                       huber: float = POSE_GRAPH_HUBER):
     """Distributed GlobalBA: the same pose graph solved with edges
     sharded over ``mesh`` (matrix-free PCG, parallel/dist_posegraph.py)
     instead of the dense replicated factorization. Chain-dominated
@@ -594,7 +594,7 @@ def run_global_ba_dist(ms: MapState, mesh, iters: int = 15,
         cg_iters = int(ms.K)
     new_poses, info = dist_solve_pose_graph(
         prob, mesh, iters=iters, cg_iters=cg_iters,
-        huber_delta=POSE_GRAPH_HUBER, axis=mesh.axis_names[0],
+        huber_delta=float(huber), axis=mesh.axis_names[0],
     )
     return apply_pose_graph_result(ms, new_poses), info
 
@@ -1042,10 +1042,13 @@ class LoopCloser:
         ms = merge_loop_mps(ms, k, cand, midx)
         if self._dist:
             ms, gba_info = run_global_ba_dist(
-                ms, self.mesh, iters=self.global_ba_iters
+                ms, self.mesh, iters=self.global_ba_iters,
+                huber=cfg.gm_pg_huber,
             )
         else:
-            ms, gba_info = run_global_ba(ms, iters=self.global_ba_iters)
+            ms, gba_info = run_global_ba(
+                ms, iters=self.global_ba_iters, huber=cfg.gm_pg_huber
+            )
         if cfg.gm_joint_ba_iters > 0:
             # polish poses AND points against the reprojection evidence
             # (the pose graph only spreads the single loop edge)

@@ -145,6 +145,10 @@ class SlamSystem:
         # re-anchored onto a survivor (regression hook for tests)
         self.anchors_reanchored = 0
         self.at_capacity = False
+        # map-point-side pressure telemetry (_relieve_mp_capacity)
+        self.mp_compactions = 0
+        self.mp_culled_weak = 0
+        self.mp_slots_reclaimed = 0
         # in-run observability (off by default — see enable_viz)
         self._viz_dir: str | None = None
         self._viz_every = 5
@@ -403,8 +407,8 @@ class SlamSystem:
         # it was computed by the previous insert and is already resident
         # — and so does a pending reference-KF mirror from the previous
         # keyframe insertion.
-        need_kf, pose, n_kf = self._pull_with_mirror(
-            res.need_kf, res.pose, self.ms.n_kf
+        need_kf, pose, n_kf, n_mp = self._pull_with_mirror(
+            res.need_kf, res.pose, self.ms.n_kf, self.ms.n_mp
         )
         self.timings["track"] = time.perf_counter() - t0
 
@@ -428,6 +432,10 @@ class SlamSystem:
                 self._relieve_capacity()
             else:
                 self.at_capacity = False
+            if int(n_mp) + cfg.cap.n_features > cfg.cap.max_mps:
+                # MP-slot watermark: the insert below may mint up to N
+                # points — reclaim holes / cull weakest first
+                self._relieve_mp_capacity()
             if not self.at_capacity:
                 self._insert_keyframe(feats, odo)
         self.trajectory.append((self.frame_id, pose))
@@ -623,8 +631,8 @@ class SlamSystem:
             # ONE host round-trip per segment: k decisions + poses (+ the
             # live KF count for the capacity check, already resident, +
             # a pending reference-KF mirror from the previous insertion)
-            needs_h, poses_h, n_kf = self._pull_with_mirror(
-                needs, poses, self.ms.n_kf
+            needs_h, poses_h, n_kf, n_mp = self._pull_with_mirror(
+                needs, poses, self.ms.n_kf, self.ms.n_mp
             )
             self.timings["track"] = time.perf_counter() - t0
             fire = next((j for j in range(i, kk) if needs_h[j]), None)
@@ -665,6 +673,8 @@ class SlamSystem:
                         self._relieve_capacity()
                     else:
                         self.at_capacity = False
+                    if int(n_mp) + cfg.cap.n_features > cfg.cap.max_mps:
+                        self._relieve_mp_capacity()
                     if not self.at_capacity:
                         if self._viz_dir is not None:
                             self._last_img = np.asarray(imgs[idx + fire])
@@ -724,15 +734,53 @@ class SlamSystem:
                 n_valid = new_valid
             if n_valid <= target:
                 break
-        old_kf_pose = np.asarray(jax.device_get(self.ms.kf_pose))
-        self.ms, kf_perm, _mp_perm = localmap.compact_map(self.ms)
-        kf_perm = np.asarray(jax.device_get(kf_perm))
-        self._remap_slots(kf_perm, old_kf_pose)
+        self._compact_and_remap()
         freed = int(self.ms.n_kf) < cfg.cap.max_kfs
         if freed:
             self.capacity_compactions += 1
         self.at_capacity = not freed
         return freed
+
+    def _compact_and_remap(self):
+        """Renumber KF + MP slots (localmap.compact_map) and remap every
+        host-side slot reference — shared by the KF- and MP-side
+        capacity relief paths."""
+        old_kf_pose, n_mp_before = jax.device_get(
+            (self.ms.kf_pose, self.ms.n_mp)
+        )
+        self.ms, kf_perm, _mp_perm = localmap.compact_map(self.ms)
+        kf_perm, n_mp_after = jax.device_get((kf_perm, self.ms.n_mp))
+        # lifetime-mint accounting across compactions (n_mp resets to
+        # the live count): total mints = n_mp + mp_slots_reclaimed
+        self.mp_slots_reclaimed += int(n_mp_before) - int(n_mp_after)
+        self._remap_slots(np.asarray(kf_perm), np.asarray(old_kf_pose))
+
+    def _relieve_mp_capacity(self):
+        """Map-point watermark response (the MP analog of
+        _relieve_capacity; r3 VERDICT missing #3): when the next insert
+        could overflow the MP bank, first reclaim the holes that culling
+        /merging/pruning left (compaction), and only if the map is
+        GENUINELY dense force-cull the weakest landmarks
+        (localmap.cull_weak_mps) down to a low-water mark so relief
+        amortizes over many insertions. Without this, n_mp is monotonic:
+        a long landmark-churning run exhausts MP slots while KF slots
+        remain and minting silently degrades to inherit-only."""
+        self._finish_loop_pending()   # pending stage holds slot ids
+        cfg = self.cfg
+        M = cfg.cap.max_mps
+        # low-water target: at least one full insert's worth of slots
+        # plus the 1/8 amortization margin; floored at M/4 so a bank
+        # smaller than the feature capacity still keeps a live map
+        target = max(M // 4, M - max(cfg.cap.n_features, M // 8))
+        n_valid = int(jnp.sum(self.ms.mp_valid))
+        if n_valid > target:
+            self.ms, n_culled = localmap.cull_weak_mps(
+                self.ms, jnp.asarray(target, jnp.int32),
+                jnp.asarray(self._ref_kf_host, jnp.int32),
+            )
+            self.mp_culled_weak += int(n_culled)
+        self._compact_and_remap()
+        self.mp_compactions += 1
 
     def _remap_slots(self, kf_perm: np.ndarray, old_kf_pose: np.ndarray):
         """Apply a compaction permutation to every host-side slot

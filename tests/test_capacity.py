@@ -167,6 +167,49 @@ def test_compacted_anchors_follow_corrections():
     )
 
 
+def test_mp_capacity_pressure_keeps_minting():
+    """Map-POINT pressure (r3 VERDICT missing #3): a landmark-churning
+    run that mints several times max_mps must keep minting — the MP
+    watermark response (compaction + forced weak-point culling,
+    system._relieve_mp_capacity) frees slots, where the old behavior
+    silently dropped every overflow mint forever once n_mp (monotonic)
+    hit capacity."""
+    from se2lam_tpu.io import ate_se2
+
+    cap = Capacity(
+        n_features=128, max_kfs=32, max_mps=80,
+        local_kfs=4, local_ref_kfs=4, local_mps=64, ransac_trials=32,
+    )
+    cfg = _cfg(cap=cap)
+    world = SyntheticWorld(cfg, n_landmarks=300, room=10.0, seed=1)
+    slam = SlamSystem(cfg, enable_loops=False)
+    n = 60
+    for img, odo in world.sequence(n, noise=(0.002, 0.001, 0.001)):
+        slam.process(img, odo)
+    # lifetime mints across compactions (n_mp resets to the live count
+    # at each relief; the system counts reclaimed slots)
+    mints = int(slam.ms.n_mp) + slam.mp_slots_reclaimed
+
+    assert slam.frame_id == n
+    assert mints > 2 * cap.max_mps, (
+        f"only {mints} mints — the run never really pressured the bank"
+    )
+    assert slam.mp_compactions >= 1, "MP relief never fired"
+    assert slam.mp_culled_weak >= 1, (
+        "a dense map must force-cull weak points, not just compact holes"
+    )
+    # minting continued after the LAST relief event
+    assert int(slam.ms.n_mp) > int(np.asarray(slam.ms.mp_valid).sum()) or (
+        int(slam.ms.n_mp) < cap.max_mps
+    )
+    assert slam.n_map_points() > 0
+    check_consistency(slam.ms)
+    corr = slam.corrected_trajectory()
+    assert np.isfinite(corr).all()
+    rmse, _ = ate_se2(corr[:, 1:3], world.gt[:n, :2])
+    assert rmse < 0.5, f"ATE {rmse}"
+
+
 def test_capacity_pressure_with_loops_enabled():
     """Capacity relief with the loop closer ATTACHED: compaction must
     rebuild the BoW bank and remap the closer's state without error
