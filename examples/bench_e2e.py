@@ -95,8 +95,14 @@ def main():
     results["n_loops"] = int(
         slam._loop_closer.n_loops_closed if slam._loop_closer else 0
     )
+    # pressure telemetry: capacity reliefs inside the timed lap are a
+    # real (and legitimate) cost, but must be VISIBLE when comparing
+    # sessions
+    results["kf_compactions"] = int(slam.capacity_compactions)
+    results["mp_compactions"] = int(slam.mp_compactions)
     print(f"chunked k={k}: {n / timed_s:.1f} fps wall "
-          f"({results['n_kf']} KFs, {results['n_loops']} loops; "
+          f"({results['n_kf']} KFs, {results['n_loops']} loops, "
+          f"{results['mp_compactions']} MP reliefs; "
           f"warm-up lap {warm_s:.1f}s)")
 
     if args.per_frame:

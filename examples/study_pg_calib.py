@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--noise", type=float, nargs=3,
                     default=(0.012, 0.006, 0.006))
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--odo-seed", type=int, default=3,
+                    help="odometry noise realization (the world seed "
+                         "only varies the landmarks/descriptors)")
     ap.add_argument("--hubers", type=float, nargs="*",
                     default=[1e9, 3.0, 1.0])
     ap.add_argument("--ceils", type=float, nargs="*",
@@ -51,7 +54,7 @@ def main():
     n = int(args.laps * args.frames_per_lap)
     reps = int(np.ceil(n / args.frames_per_lap))
     gt = np.concatenate([lap] * reps)[:n]
-    odo = world.odometry(gt, noise=tuple(args.noise), seed=3)
+    odo = world.odometry(gt, noise=tuple(args.noise), seed=args.odo_seed)
 
     ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
     results = {

@@ -192,13 +192,18 @@ class SystemConfig:
     # (beyond the reference's pose-graph-only GlobalBA; 0 disables)
     gm_joint_ba_iters: int = 5
     # pose-graph GlobalBA edge robustifier (sqrt-chi2 kink) and the
-    # eigenvalue ceiling of sparsified loop/feature-edge information
-    # (the Sparsifier clamp, src/sparsifier.cpp:239-263 uses 1e4) —
-    # calibrated by artifacts/drift_study_r4: an uncapped-stiff loop
-    # edge under a tight Huber made pose-graph-only closures drag the
-    # trajectory (r3 VERDICT weak #1)
+    # eigenvalue ceiling of sparsified loop/feature-edge information.
+    # The reference Sparsifier clamps to 1e4 (src/sparsifier.cpp:239-263)
+    # but its pose-only loop Hessians saturate that ceiling, making the
+    # single loop edge ~5x stiffer than a preintegration chain edge
+    # (info ~2e3) — over-confident enough that on some odometry draws a
+    # pose-graph-only closure dragged the live trajectory WORSE than raw
+    # odometry (r3 VERDICT weak #1; reproduced at odo seed 5 in
+    # artifacts/pg_calib_r4). Capping at 1e3 ≈ the chain's own stiffness
+    # scale removed every blowup across 4 world x 4 odometry draws with
+    # unchanged best-case accuracy (artifacts/pg_calib_r4, RESULTS.md).
     gm_pg_huber: float = 3.0
-    gm_loop_info_ceil: float = 1e4
+    gm_loop_info_ceil: float = 1e3
 
     # map IO (src/Config.cpp:165-176)
     use_prev_map: bool = False

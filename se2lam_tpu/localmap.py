@@ -721,6 +721,70 @@ def cull_weak_mps(ms: MapState, n_keep, protect_kf):
 
 
 @jax.jit
+def compact_mps(ms: MapState):
+    """Renumber ONLY the map-point slots (keyframes untouched).
+
+    Unlike full compact_map, no host-side structure ever holds MP slot
+    ids (anchors, the tracking reference, and the BoW bank are all
+    KF-indexed), so an MP-only compaction is a pure device op: no host
+    remap, no bank rebuild, no sync — the cheap half of the MP-pressure
+    response. Returns the compacted MapState."""
+    M = ms.M
+    i32 = jnp.int32
+    mp_new = jnp.where(
+        ms.mp_valid, jnp.cumsum(ms.mp_valid) - 1, -1
+    ).astype(i32)
+    n_mp_new = jnp.sum(ms.mp_valid).astype(i32)
+    mp_old = jnp.full((M,), 0, i32).at[
+        jnp.where(ms.mp_valid, mp_new, M)
+    ].set(jnp.arange(M, dtype=i32), mode="drop")
+    mp_live = jnp.arange(M) < n_mp_new
+
+    def remap_mp_ref(x):
+        return jnp.where(x >= 0, mp_new[jnp.clip(x, 0)], -1)
+
+    def gather_mp(x, dead_fill=0):
+        g = x[mp_old]
+        fill = jnp.asarray(dead_fill, x.dtype)
+        mask_shape = (M,) + (1,) * (x.ndim - 1)
+        return jnp.where(mp_live.reshape(mask_shape), g, fill)
+
+    out = ms._replace(
+        kf_obs_mp=remap_mp_ref(ms.kf_obs_mp),
+        mp_pos=gather_mp(ms.mp_pos),
+        mp_valid=mp_live,
+        mp_good_prl=gather_mp(ms.mp_good_prl, False),
+        mp_desc=gather_mp(ms.mp_desc),
+        mp_desc_votes=gather_mp(ms.mp_desc_votes),
+        mp_normal=gather_mp(ms.mp_normal),
+        mp_main_kf=gather_mp(ms.mp_main_kf, -1),
+        mp_main_feat=gather_mp(ms.mp_main_feat, -1),
+        mp_main_octave=gather_mp(ms.mp_main_octave),
+        mp_min_dist=gather_mp(ms.mp_min_dist),
+        mp_max_dist=gather_mp(ms.mp_max_dist, jnp.inf),
+        mp_obs_kf=gather_mp(ms.mp_obs_kf, -1),
+        mp_obs_feat=gather_mp(ms.mp_obs_feat, -1),
+        mp_n_obs=gather_mp(ms.mp_n_obs),
+        n_mp=n_mp_new,
+    )
+    obs_ok = out.mp_obs_kf >= 0
+    return out._replace(
+        mp_obs_feat=jnp.where(obs_ok, out.mp_obs_feat, -1),
+        mp_n_obs=jnp.sum(obs_ok, axis=1).astype(jnp.int32),
+    )
+
+
+@jax.jit
+def relieve_mp_pressure(ms: MapState, target, protect_kf):
+    """Fused MP-pressure response: force-cull the weakest landmarks to
+    ≤ ``target`` live (a no-op when holes alone suffice — n_cull clamps
+    to 0) and compact MP slots so the freed tail is mintable again. One
+    device dispatch, zero host syncs. Returns (MapState, n_culled)."""
+    ms, n_culled = cull_weak_mps(ms, target, protect_kf)
+    return compact_mps(ms), n_culled
+
+
+@jax.jit
 def compact_map(ms: MapState):
     """Renumber keyframe and map-point slots so all valid entries are
     contiguous from 0, freeing the tail for new insertions.

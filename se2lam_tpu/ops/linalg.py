@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["inv2x2", "inv3x3", "inv_psd_small"]
+__all__ = [
+    "inv2x2", "inv3x3", "inv_psd_small", "block_tridiag_factor",
+    "block_tridiag_solve",
+]
 
 
 def inv_psd_small(M, eps: float = 1e-30):
@@ -39,6 +42,72 @@ def inv_psd_small(M, eps: float = 1e-30):
         A = A - factor * row_a[..., None, :]
         I = I - factor * row_i[..., None, :]
     return I
+
+
+def block_tridiag_factor(D, L, eps: float = 1e-9):
+    """Block-Cholesky-style forward factorization of a symmetric block-
+    tridiagonal system with (K, b, b) diagonal blocks ``D`` and (K, b, b)
+    sub-diagonal blocks ``L`` (``L[k]`` couples row k to row k-1; L[0]
+    is ignored). Returns (Cinv, L) where ``Cinv[k]`` is the inverse of
+    the running Schur complement C_k = D_k − L_k C_{k-1}⁻¹ L_kᵀ.
+
+    This is the chain-aware preconditioner factor for SLAM pose graphs:
+    the odometry chain is exactly block-tridiagonal, and solving it
+    directly removes the O(K) CG-iteration wall a block-Jacobi
+    preconditioner hits on chain-dominated graphs (the condition number
+    of a K-pose chain grows as K²). The K-step scan is sequential but
+    each step is a b×b (=3×3) solve — microseconds of VPU math, traded
+    against ~K matrix-free CG iterations of full edge sweeps + psums.
+    """
+    import jax
+
+    b = D.shape[-1]
+    eye = jnp.eye(b, dtype=D.dtype)
+
+    def step(Cprev_inv, xs):
+        Dk, Lk = xs
+        Ck = Dk - Lk @ Cprev_inv @ jnp.swapaxes(Lk, -1, -2)
+        Ck_inv = inv3x3(Ck + eps * eye) if b == 3 else inv_psd_small(
+            Ck + eps * eye
+        )
+        return Ck_inv, Ck_inv
+
+    # L[0] must be zero (no row -1); the caller guarantees it
+    _, Cinv = jax.lax.scan(step, jnp.zeros((b, b), D.dtype), (D, L))
+    return Cinv, L
+
+
+def block_tridiag_solve(Cinv, L, r):
+    """Solve M x = r with the factorization from block_tridiag_factor.
+
+    Forward sweep y_k = C_k⁻¹ (r_k − L_k y_{k-1}'s term), backward sweep
+    x_k = y_k − C_k⁻¹ L_{k+1}ᵀ x_{k+1}. ``r`` is (K, b); returns (K, b).
+    """
+    import jax
+
+    def fwd(y_prev, xs):
+        Ck_inv, Lk, rk = xs
+        yk = Ck_inv @ (rk - Lk @ y_prev)
+        return yk, yk
+
+    _, y = jax.lax.scan(
+        fwd, jnp.zeros(r.shape[-1], r.dtype), (Cinv, L, r)
+    )
+
+    def bwd(x_next, xs):
+        Ck_inv, Lnext, yk = xs
+        xk = yk - Ck_inv @ (jnp.swapaxes(Lnext, -1, -2) @ x_next)
+        return xk, xk
+
+    # L shifted: row k couples to k+1 through L[k+1]
+    Lnext = jnp.concatenate(
+        [L[1:], jnp.zeros_like(L[:1])], axis=0
+    )
+    _, x_rev = jax.lax.scan(
+        bwd, jnp.zeros(r.shape[-1], r.dtype),
+        (Cinv[::-1], Lnext[::-1], y[::-1]),
+    )
+    return x_rev[::-1]
 
 
 def inv2x2(M, eps: float = 1e-30):

@@ -10,6 +10,7 @@ from .dist_ba import (  # noqa: F401
     DistBAProblem,
     dist_solve_local_ba,
     partition_points,
+    sharded_solve_joint_ba,
     sharded_solve_local_ba,
 )
 from .dist_posegraph import dist_solve_pose_graph  # noqa: F401

@@ -52,7 +52,8 @@ def _pad_edges(prob: PoseGraphProblem, n: int) -> PoseGraphProblem:
 
 
 def _make_solver(mesh: Mesh, axis: str, iters: int, cg_iters: int,
-                 huber_delta: float, lm_init_lambda: float):
+                 huber_delta: float, lm_init_lambda: float,
+                 precond: str = "tridiag"):
     spec_s = P(axis)
     spec_r = P()
     in_specs = (
@@ -102,7 +103,7 @@ def _make_solver(mesh: Mesh, axis: str, iters: int, cg_iters: int,
             b = b.at[ej].add(-jnp.einsum("eab,eb->ea", JjW, r))
             b = jax.lax.psum(b, axis) * fm
 
-            # block-Jacobi diagonal — one psum; Marquardt scaling matches
+            # preconditioner blocks — one psum; Marquardt scaling matches
             # the dense solver's lam·diag(diag(H))
             D = jnp.zeros((K, 3, 3), dtype)
             D = D.at[ei].add(JiW @ Ji)
@@ -114,7 +115,39 @@ def _make_solver(mesh: Mesh, axis: str, iters: int, cg_iters: int,
             D_pc = jnp.where(
                 free[:, None, None], D_pc, jnp.eye(3, dtype=dtype)[None]
             )
-            Minv = linalg.inv3x3(D_pc)
+            if precond == "tridiag":
+                # chain-aware block-tridiagonal preconditioner: the
+                # odometry chain (consecutive-id edges) conditions a
+                # K-pose graph as O(K²) — solving it EXACTLY per CG
+                # application removes the cg_iters ≈ K wall block-Jacobi
+                # hits on chain-dominated graphs (the psum storm of r3's
+                # SCALING.md). Off-diagonal chain blocks are psum'd like
+                # the diagonal; loop edges stay diagonal-only.
+                from ..ops.linalg import (
+                    block_tridiag_factor, block_tridiag_solve,
+                )
+
+                chain = prob.edge_valid & (ej == ei + 1)
+                free_prev = jnp.concatenate(
+                    [jnp.zeros((1,), bool), free[:-1]]
+                )
+                Lrow = jnp.where(chain, ej, K)
+                Lblk = jnp.zeros((K, 3, 3), dtype).at[Lrow].add(
+                    JjW @ Ji, mode="drop"
+                )
+                Lblk = jax.lax.psum(Lblk, axis)
+                Lblk = jnp.where(
+                    (free & free_prev)[:, None, None], Lblk, 0.0
+                )
+                Cinv, _ = block_tridiag_factor(D_pc, Lblk)
+
+                def precond_apply(v):
+                    return block_tridiag_solve(Cinv, Lblk, v * fm) * fm
+            else:
+                Minv = linalg.inv3x3(D_pc)
+
+                def precond_apply(v):
+                    return jnp.einsum("kab,kb->ka", Minv, v) * fm
 
             def Hv(v):
                 v = v * fm
@@ -128,9 +161,6 @@ def _make_solver(mesh: Mesh, axis: str, iters: int, cg_iters: int,
                 out = jax.lax.psum(out, axis)
                 return (out + damp * v) * fm
 
-            def precond(v):
-                return jnp.einsum("kab,kb->ka", Minv, v) * fm
-
             def cg_body(_, s):
                 x, rr, pp, rz = s
                 Ap = Hv(pp)
@@ -138,13 +168,13 @@ def _make_solver(mesh: Mesh, axis: str, iters: int, cg_iters: int,
                 alpha = jnp.where(pAp > 1e-30, rz / pAp, 0.0)
                 x = x + alpha * pp
                 rr = rr - alpha * Ap
-                z = precond(rr)
+                z = precond_apply(rr)
                 rz_new = jnp.sum(rr * z)
                 beta = jnp.where(rz > 1e-30, rz_new / rz, 0.0)
                 pp = z + beta * pp
                 return x, rr, pp, rz_new
 
-            z0 = precond(b)
+            z0 = precond_apply(b)
             x, _, _, _ = jax.lax.fori_loop(
                 0, cg_iters, cg_body,
                 (jnp.zeros((K, 3), dtype), b, z0, jnp.sum(b * z0)),
@@ -179,24 +209,29 @@ def dist_solve_pose_graph(
     prob: PoseGraphProblem, mesh: Mesh, iters: int = 15,
     cg_iters: int = 64, huber_delta: float = jnp.inf,
     lm_init_lambda: float = 1e-6, axis: str = "d",
+    precond: str = "tridiag",
 ):
     """Solve the pose graph with edges sharded over ``mesh``.
 
     Returns (poses, {"chi2", "chi2_init"}) replicated. ``cg_iters``
-    bounds the inner PCG. With the block-Jacobi preconditioner,
-    loop-rich graphs converge in a few dozen iterations; chain-dominated
-    graphs (odometry with few loop closures) condition as O(K²) and want
-    cg_iters ≈ K to match the dense solve to float tolerance — still a
-    win, since each iteration is O(E/n) work + one (K,3) psum vs the
-    dense solver's O(K³) replicated factorization."""
+    bounds the inner PCG. ``precond``: "tridiag" (default) solves the
+    odometry chain's block-tridiagonal system exactly per CG
+    application, removing the cg_iters ≈ K wall that chain-dominated
+    graphs (condition O(K²)) hit under "jacobi" — measured in
+    artifacts/pcg_precond_r4 (pose-graph table): the dense-solve match
+    that took cg≈K block-Jacobi iterations lands in a few dozen. Each
+    iteration is O(E/n) work + one (K,3) psum vs the dense solver's
+    O(K³) replicated factorization."""
     key = (
         tuple(d.id for d in mesh.devices.flat), mesh.axis_names, axis,
         iters, cg_iters, float(huber_delta), float(lm_init_lambda),
+        precond,
     )
     fn = _SOLVER_CACHE.get(key)
     if fn is None:
         fn = _make_solver(
-            mesh, axis, iters, cg_iters, huber_delta, lm_init_lambda
+            mesh, axis, iters, cg_iters, huber_delta, lm_init_lambda,
+            precond,
         )
         _SOLVER_CACHE[key] = fn
     return fn(_pad_edges(prob, mesh.shape[axis]))

@@ -33,7 +33,82 @@ from .. import factors
 from ..ops import linalg
 from ..ops.camera import CameraModel
 
-__all__ = ["BAProblem", "BAConfig", "solve_local_ba", "ba_chi2", "obs_chi2"]
+__all__ = [
+    "BAProblem", "BAConfig", "solve_local_ba", "ba_chi2", "obs_chi2",
+    "synthetic_grid_ba",
+]
+
+
+def synthetic_grid_ba(rng, K, M, P, cam, Tcb, step=(0.02, 0.005),
+                      theta_step=(0.002, 0.001)):
+    """Synthetic SE2-XYZ problem with the M×P observation grid
+    (o = m·P + p, build_global_ba's enumeration): exact projections as
+    measurements, perturbed initial estimates, landmarks anchored near
+    their observers so depth stays healthy at any K. One construction
+    shared by tests, the PCG-preconditioner study, and the driver dryrun
+    (the synthetic_pose_graph pattern). ``rng`` is a numpy Generator.
+    Returns (BAProblem, true_poses)."""
+    import numpy as np
+
+    from ..ops import se2
+
+    O = M * P
+    steps = rng.normal(step[0], step[1], (K, 3)).astype(np.float32)
+    steps[:, 2] = rng.normal(theta_step[0], theta_step[1], K)
+    poses = np.cumsum(steps, 0)
+    anchor = rng.integers(0, K, M)
+    points = np.stack(
+        [
+            poses[anchor, 0] + rng.uniform(4, 10, M),
+            poses[anchor, 1] + rng.uniform(-3, 3, M),
+            rng.uniform(-1, 1, M),
+        ],
+        -1,
+    ).astype(np.float32)
+    obs_mp = np.repeat(np.arange(M, dtype=np.int32), P)
+    obs_kf = np.clip(
+        anchor[obs_mp] + rng.integers(-6, 7, O), 0, K - 1
+    ).astype(np.int32)
+
+    pj = jnp.asarray(poses)[obs_kf]
+    xj = jnp.asarray(points)[obs_mp]
+    Tcw = Tcb @ jax.vmap(lambda p: jnp.linalg.inv(se2.to_se3(p)))(pj)
+    lc = jnp.einsum("oij,oj->oi", Tcw[:, :3, :3], xj) + Tcw[:, :3, 3]
+    z_ok = lc[:, 2] > 1.0
+    uv = jnp.stack(
+        [
+            cam.fx * lc[:, 0] / jnp.maximum(lc[:, 2], 1e-3) + cam.cx,
+            cam.fy * lc[:, 1] / jnp.maximum(lc[:, 2], 1e-3) + cam.cy,
+        ],
+        -1,
+    )
+    prob = BAProblem(
+        poses=jnp.asarray(
+            poses + rng.normal(0, 0.005, (K, 3)).astype(np.float32)
+            * np.asarray([1, 1, 0.3], np.float32)
+        ),
+        points=jnp.asarray(
+            points + rng.normal(0, 0.01, (M, 3)).astype(np.float32)
+        ),
+        pose_valid=jnp.ones(K, bool),
+        pose_fixed=jnp.zeros(K, bool).at[0].set(True),
+        point_valid=jnp.ones(M, bool),
+        obs_kf=jnp.asarray(obs_kf),
+        obs_mp=jnp.asarray(obs_mp),
+        obs_uv=uv,
+        obs_info=jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (O, 2, 2)),
+        obs_valid=z_ok,
+        edge_i=jnp.arange(K - 1, dtype=jnp.int32),
+        edge_j=jnp.arange(1, K, dtype=jnp.int32),
+        edge_meas=jax.vmap(se2.minus)(
+            jnp.asarray(poses)[1:], jnp.asarray(poses)[:-1]
+        ),
+        edge_info=jnp.broadcast_to(
+            2000.0 * jnp.eye(3, dtype=jnp.float32), (K - 1, 3, 3)
+        ),
+        edge_valid=jnp.ones(K - 1, bool),
+    )
+    return prob, jnp.asarray(poses)
 
 
 class BAProblem(NamedTuple):

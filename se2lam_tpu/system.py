@@ -758,28 +758,34 @@ class SlamSystem:
     def _relieve_mp_capacity(self):
         """Map-point watermark response (the MP analog of
         _relieve_capacity; r3 VERDICT missing #3): when the next insert
-        could overflow the MP bank, first reclaim the holes that culling
-        /merging/pruning left (compaction), and only if the map is
-        GENUINELY dense force-cull the weakest landmarks
-        (localmap.cull_weak_mps) down to a low-water mark so relief
-        amortizes over many insertions. Without this, n_mp is monotonic:
-        a long landmark-churning run exhausts MP slots while KF slots
-        remain and minting silently degrades to inherit-only."""
-        self._finish_loop_pending()   # pending stage holds slot ids
+        could overflow the MP bank, reclaim the holes that culling/
+        merging/pruning left and — only if the map is GENUINELY dense —
+        force-cull the weakest landmarks down to a low-water mark so
+        relief amortizes over many insertions. Without this, n_mp is
+        monotonic: a long landmark-churning run exhausts MP slots while
+        KF slots remain and minting silently degrades to inherit-only.
+
+        Runs as ONE fused device dispatch (localmap.relieve_mp_pressure)
+        — MP slots have no host-side references, so unlike the KF-side
+        relief there is no remap, no BoW-bank rebuild, and the only sync
+        is a telemetry pull of the two counters."""
+        self._finish_loop_pending()   # pending stage holds MP-table views
         cfg = self.cfg
         M = cfg.cap.max_mps
         # low-water target: at least one full insert's worth of slots
         # plus the 1/8 amortization margin; floored at M/4 so a bank
         # smaller than the feature capacity still keeps a live map
         target = max(M // 4, M - max(cfg.cap.n_features, M // 8))
-        n_valid = int(jnp.sum(self.ms.mp_valid))
-        if n_valid > target:
-            self.ms, n_culled = localmap.cull_weak_mps(
-                self.ms, jnp.asarray(target, jnp.int32),
-                jnp.asarray(self._ref_kf_host, jnp.int32),
-            )
-            self.mp_culled_weak += int(n_culled)
-        self._compact_and_remap()
+        n_mp_before = self.ms.n_mp
+        self.ms, n_culled = localmap.relieve_mp_pressure(
+            self.ms, jnp.asarray(target, jnp.int32),
+            jnp.asarray(self._ref_kf_host, jnp.int32),
+        )
+        culled, reclaimed = jax.device_get(
+            (n_culled, n_mp_before - self.ms.n_mp)
+        )
+        self.mp_culled_weak += int(culled)
+        self.mp_slots_reclaimed += int(reclaimed)
         self.mp_compactions += 1
 
     def _remap_slots(self, kf_perm: np.ndarray, old_kf_pose: np.ndarray):

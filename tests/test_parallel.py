@@ -138,3 +138,96 @@ def test_dist_pose_graph_huber_matches_dense():
         prob, mesh, iters=15, cg_iters=64, huber_delta=3.0
     )
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+
+
+def test_block_tridiag_solve_matches_dense(rng):
+    """ops/linalg.block_tridiag_factor/solve vs a dense solve on a
+    random SPD block-tridiagonal system (the chain-aware preconditioner
+    kernel)."""
+    from se2lam_tpu.ops.linalg import (
+        block_tridiag_factor, block_tridiag_solve,
+    )
+
+    K, b = 24, 3
+    D = np.zeros((K, b, b), np.float32)
+    L = np.zeros((K, b, b), np.float32)
+    A = np.zeros((K * b, K * b), np.float64)
+    for k in range(K):
+        Q = rng.normal(size=(b, b))
+        Dk = (Q @ Q.T + 5 * np.eye(b)).astype(np.float32)
+        D[k] = Dk
+        A[k * b:(k + 1) * b, k * b:(k + 1) * b] = Dk
+    for k in range(1, K):
+        Lk = (0.5 * rng.normal(size=(b, b))).astype(np.float32)
+        L[k] = Lk
+        A[k * b:(k + 1) * b, (k - 1) * b:k * b] = Lk
+        A[(k - 1) * b:k * b, k * b:(k + 1) * b] = Lk.T
+    r = rng.normal(size=(K, b)).astype(np.float32)
+    Cinv, Lj = block_tridiag_factor(
+        jnp.asarray(D), jnp.asarray(L), eps=0.0
+    )
+    x = np.asarray(block_tridiag_solve(Cinv, Lj, jnp.asarray(r)))
+    x_ref = np.linalg.solve(A, r.reshape(-1)).reshape(K, b)
+    np.testing.assert_allclose(x, x_ref, atol=1e-5)
+
+
+def test_dist_pose_graph_tridiag_beats_jacobi_at_low_cg():
+    """The chain-exact preconditioner must match the dense solve at a
+    small inner-iteration budget where block-Jacobi cannot (the r3
+    cg ≈ K wall; artifacts/pcg_precond_r4)."""
+    prob = _make_pose_graph(K=192)
+    p_ref, _ = solve_pose_graph(prob, iters=15)
+    mesh = make_mesh(8)
+    p_tri, _ = dist_solve_pose_graph(
+        prob, mesh, iters=15, cg_iters=12, precond="tridiag"
+    )
+    p_jac, _ = dist_solve_pose_graph(
+        prob, mesh, iters=15, cg_iters=12, precond="jacobi"
+    )
+    err_tri = float(jnp.max(jnp.abs(p_tri - p_ref)))
+    err_jac = float(jnp.max(jnp.abs(p_jac - p_ref)))
+    assert err_tri < 1e-2, err_tri
+    assert err_tri < 0.2 * err_jac, (err_tri, err_jac)
+
+
+def test_sharded_joint_ba_pcg_matches_optimum(rng):
+    """Matrix-free PCG joint BA (grid partition + chain-aware
+    preconditioner) vs the single-device optimum at window scale.
+    Parity is at the OPTIMUM: the PCG path damps Marquardt-style (the
+    raw reduced system conditions at ~1e11 where additive damping makes
+    f32 CG unusable — artifacts/pcg_precond_r4/RESULTS.md), so the LM
+    trajectories differ while the converged poses agree."""
+    from se2lam_tpu.ops.camera import CameraModel
+    from se2lam_tpu.parallel import sharded_solve_joint_ba
+    from se2lam_tpu.solver.ba import (
+        BAConfig, solve_local_ba, synthetic_grid_ba,
+    )
+
+    cam = CameraModel.create(500.0, 500.0, 320.0, 240.0)
+    Tcb = jnp.asarray(np.array(
+        [[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+        np.float32,
+    ))
+    P = 8
+    prob, gt = synthetic_grid_ba(rng, 64, 2048, P, cam, Tcb)
+    cfg = BAConfig(iters=8)
+    p_ref, _, _ = solve_local_ba(prob, cam, Tcb, cfg)
+    mesh = make_mesh(8)
+    p, x, info = sharded_solve_joint_ba(
+        prob, cam, Tcb, cfg, mesh, cg_iters=32, grid_p=P
+    )
+    assert int(info["n_obs_dropped"]) == 0
+    d = np.array(p - p_ref)
+    d[:, 2] = np.arctan2(np.sin(d[:, 2]), np.cos(d[:, 2]))
+    # f32 optimum wiggle along sloppy directions is problem-dependent
+    # (measured 2e-3..7e-3 across seeds); the cost check below pins the
+    # quality tighter than the pose tolerance alone
+    assert float(np.abs(d).max()) < 1e-2, float(np.abs(d).max())
+    assert np.isfinite(np.asarray(x)).all()
+    from se2lam_tpu.solver.ba import ba_chi2
+
+    c_pcg = float(ba_chi2(
+        prob._replace(poses=p, points=x), cam, Tcb, cfg.huber_delta
+    ))
+    c0 = float(ba_chi2(prob, cam, Tcb, cfg.huber_delta))
+    assert c_pcg < 1e-3 * c0, (c_pcg, c0)
