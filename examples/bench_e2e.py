@@ -36,6 +36,10 @@ def main():
                     help="timed frames (after an equal warm-up lap)")
     ap.add_argument("--per-frame", action="store_true",
                     help="also time the 1-sync-per-frame mode")
+    ap.add_argument("--ab-sync", action="store_true",
+                    help="also time async_mapping=False (the inline "
+                         "loop stage) in the SAME session for a fair "
+                         "A/B — session-to-session variance is ~±20%")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "E2E_BENCH.json"))
@@ -104,6 +108,16 @@ def main():
           f"({results['n_kf']} KFs, {results['n_loops']} loops, "
           f"{results['mp_compactions']} MP reliefs; "
           f"warm-up lap {warm_s:.1f}s)")
+
+    if args.ab_sync:
+        slam_s = SlamSystem(cfg, enable_loops=True, async_mapping=False)
+        warm_b = run(True, 0, n_warm, slam_s)
+        timed_b = run(True, n_warm, total, slam_s)
+        results["e2e_chunked_sync_fps"] = round(n / timed_b, 1)
+        print(f"sync-mapping: {n / timed_b:.1f} fps wall "
+              f"({int(slam_s.ms.n_kf)} KFs, "
+              f"{slam_s._loop_closer.n_loops_closed} loops; "
+              f"warm-up {warm_b:.1f}s)")
 
     if args.per_frame:
         slam2 = SlamSystem(cfg, enable_loops=True)

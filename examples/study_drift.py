@@ -31,7 +31,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_cfg(n_feats=256, joint_iters=5):
+def build_cfg(n_feats=256, joint_iters=5, odo_noise=(0.012, 0.006, 0.006)):
+    """``odo_noise``: the estimator's per-step odometry noise model
+    (cfg.odo_*_noise) — MUST match the simulated noise. Round-3 studies
+    left it at the 0.001 defaults while simulating 0.012/0.006/0.006,
+    telling the solver odometry was ~144x more informative than it was
+    and suppressing vision's correction (the 'thin vision margin', r3
+    VERDICT weak #2; quantified in artifacts/noise_study_r4). The
+    reference reads these from Settings.yml per platform
+    (src/Config.cpp:141-153) — calibration is the user's job there too.
+    """
     from se2lam_tpu.config import Capacity, SystemConfig
     from se2lam_tpu.frontend.orb import OrbConfig
 
@@ -48,6 +57,9 @@ def build_cfg(n_feats=256, joint_iters=5):
         max_feature_num=n_feats, max_level=2, scale_factor=1.2,
         min_frames_between_kf=2, max_frames_between_kf=8,
         local_iter=6,
+        odo_x_noise=float(odo_noise[0]),
+        odo_y_noise=float(odo_noise[1]),
+        odo_t_noise=float(odo_noise[2]),
         gm_joint_ba_iters=joint_iters,
         # gates scaled to the 256-feature scene (reference defaults
         # assume ~1000 features; see tests/test_loop_reference_gates.py

@@ -779,13 +779,23 @@ class LoopCloser:
     def __init__(
         self,
         cfg: SystemConfig,
-        n_words: int = 1024,
+        n_words: int | None = None,
         min_kfs_to_train: int = 2,
         retrain_factor: float = 2.0,
         global_ba_iters: int | None = None,
         mesh=None,
     ):
         self.cfg = cfg
+        # flat-vocabulary size scales with the keyframe capacity: the
+        # L1 score separation between a true revisit and the best
+        # impostor collapses when many keyframes share words — measured
+        # in artifacts/vocab_scale_r4 (at K=1024, W=1024 drops to 91.7%
+        # top-1 with NEGATIVE worst-case separation; W≈4K holds 100%
+        # with mean separation ≥0.3). W is a matmul width here, so
+        # scaling it is cheap (DBoW2 scales the tree the same way: ~1M
+        # leaves for city-scale maps, TemplatedVocabulary.h).
+        if n_words is None:
+            n_words = int(min(max(1024, 4 * cfg.cap.max_kfs), 16384))
         self.n_words = n_words
         # optional jax.sharding.Mesh: with >1 device the global solvers
         # and the BoW bank run sharded (BASELINE north-star config 5 —
