@@ -70,6 +70,7 @@ def insert_first_kf(ms: MapState, feats: OrbFeatures, pose, odom) -> MapState:
     return ms._replace(n_kf=ms.n_kf + 1)
 
 
+@jax.jit
 def kf_track_seed(ms: MapState, k):
     """(view_mp, obs_mask) of KF ``k`` for Track::resetLocalTrack.
 
@@ -77,6 +78,48 @@ def kf_track_seed(ms: MapState, k):
     obs = ms.kf_obs_mp[k]
     mask = (obs >= 0) & ms.mp_valid[jnp.clip(obs, 0)]
     return ms.kf_view_mp[k], mask
+
+
+@partial(jax.jit, static_argnames=("cfg", "prune_rounds"))
+def insert_and_optimize(
+    ms: MapState,
+    feats: OrbFeatures,
+    pose,
+    odom,
+    ref_kf,
+    match_idx,
+    local_mps,
+    local_mp_valid,
+    good_prl,
+    pre_meas,
+    pre_cov,
+    protect,
+    cfg: SystemConfig,
+    prune_rounds: int = 2,
+):
+    """The whole keyframe-insertion mapping stage as ONE compiled
+    program: add_keyframe → bounded pruning rounds → local BA → the
+    tracking reseed inputs (LocalMapper::addNewKF + run-loop order,
+    src/LocalMapper.cpp:51-85,304-364 + Track::resetLocalTrack).
+
+    Fusing matters on a remote-attached chip: dispatched separately,
+    the stage is ~8 host→device op launches whose tunnel latency
+    (~1.6 ms each, serialized in dispatch order) plus the next control
+    pull's queue drain dominate the ~25 ms of actual device math
+    (round-4 E2E profile: 54 pulls averaged 98 ms against ~40 ms of
+    device work). One launch leaves one RTT.
+
+    Returns (ms, k, view_mp, obs_mask, ba_info).
+    """
+    ms, k = add_keyframe(
+        ms, feats, pose, odom, ref_kf, match_idx, local_mps,
+        local_mp_valid, good_prl, pre_meas, pre_cov, cfg,
+    )
+    for _ in range(prune_rounds):
+        ms, _kid = prune_redundant_kf(ms, k, protect=protect, cfg=cfg)
+    ms, ba_info = run_local_ba(ms, k, cfg)
+    view_mp, obs_mask = kf_track_seed(ms, k)
+    return ms, k, view_mp, obs_mask, ba_info
 
 
 def _append_obs(ms: MapState, mp_idx, kf, feat_idx, active):

@@ -347,7 +347,8 @@ def select_feat_pairs(ms: MapState, k, hops: int = 5, max_cands: int = 4):
 
 
 @partial(jax.jit, static_argnames=("evict_if_full",))
-def add_ftr_edge(ms: MapState, i, j, meas, info, evict_if_full=False):
+def add_ftr_edge(ms: MapState, i, j, meas, info, evict_if_full=False,
+                 active=True):
     """Record a sparsified feature/loop constraint (the SE2 analog of
     KeyFrame::addFtrMeasureFrom, include/se2lam/KeyFrame.h:101-108).
 
@@ -356,7 +357,11 @@ def add_ftr_edge(ms: MapState, i, j, meas, info, evict_if_full=False):
     prune_redundant_kf protects edge endpoints, so without eviction a
     full bank would reject every later closure for the rest of the run.
     Covisibility densification edges keep the default (drop): evicting
-    for a nice-to-have edge would churn the bank at capacity."""
+    for a nice-to-have edge would churn the bank at capacity.
+
+    ``active`` may be a traced bool: False makes the write a no-op
+    (the fused device loop stage applies candidate edges by mask
+    instead of host control flow)."""
     F = ms.ftr_valid.shape[0]
     slot = jnp.argmin(ms.ftr_valid)          # first free slot
     if evict_if_full:
@@ -366,6 +371,7 @@ def add_ftr_edge(ms: MapState, i, j, meas, info, evict_if_full=False):
         slot = jnp.where(ms.ftr_valid[slot], weakest, slot)
     else:
         slot = jnp.where(ms.ftr_valid[slot], F, slot)  # full → drop
+    slot = jnp.where(active, slot, F)        # inactive → drop the write
     return ms._replace(
         ftr_i=ms.ftr_i.at[slot].set(i, mode="drop"),
         ftr_j=ms.ftr_j.at[slot].set(j, mode="drop"),
@@ -772,6 +778,117 @@ def run_global_ba_joint_dist(
     return _joint_apply(ms, prob, poses, points), info
 
 
+@partial(jax.jit, static_argnames=(
+    "cfg", "n_trials", "gba_iters", "joint_iters", "min_between",
+    "have_vocab",
+))
+def loop_stage(
+    ms: MapState, k, bank, vocab, last_loop, key, cfg: SystemConfig,
+    n_trials: int, gba_iters: int, joint_iters: int, min_between: int,
+    have_vocab: bool = True,
+):
+    """The ENTIRE per-keyframe global-mapping stage as ONE compiled
+    program: feat-edge candidate selection, BoW detect over the bank,
+    batched verification + constraint builds, gate decisions, feature-
+    edge writes, and — under a ``lax.cond`` so the heavy branch only
+    executes when a closure actually fires — merge + pose-graph GlobalBA
+    + joint GBA. The host dispatches it and reads back NOTHING on the
+    hot path; the returned scalars (fired?, partner, eviction flag) ride
+    a later control pull for bookkeeping only.
+
+    This is the round-4 E2E finding applied (DESIGN §14/§17): the loop
+    stage's math is ~10-130 ms of device time, but staged host driving
+    cost ~25 op launches and ~2 pulls per keyframe through the tunnel —
+    the pulls alone averaged 98 ms. All decision logic the staged driver
+    ran on host (detect accept src/GlobalMapper.cpp:201-254, VerifyLoop
+    gates :256-326, the temporal throttle) is traced here instead;
+    ``last_loop`` is carried as device state (2,) int32 [cand, k].
+
+    Returns (ms, bank, outs) — outs carries fired/cand/k/evicted/
+    n_feat_edges/midx device values.
+    """
+    K = ms.K
+    i32 = jnp.int32
+    k = jnp.asarray(k, i32)
+    cands = select_feat_pairs(ms, k)                      # (4,)
+    if have_vocab:
+        from .parallel.dist_loop import sharded_bow_detect
+
+        v, _ = vocab_mod.bow_transform(
+            vocab, ms.kf_desc[k], ms.kf_feat_valid[k]
+        )
+        bank = bank.at[k].set(v)
+        ids = jnp.arange(K)
+        eligible = ms.kf_valid & (ids <= k - cfg.gm_dcl_min_kfid_offset)
+        best_i, best_s = sharded_bow_detect(bank, v, eligible)
+        throttled = (last_loop[1] >= 0) & (
+            k - last_loop[1] < min_between
+        )
+        loop_ok = (~throttled) & (best_s >= cfg.gm_dcl_min_score_best)
+        loop_cand = jnp.where(loop_ok, best_i.astype(i32), -1)
+    else:
+        loop_cand = jnp.asarray(-1, i32)
+
+    vec = jnp.concatenate([cands, loop_cand[None]])       # (5,)
+    keys = jax.random.split(key, vec.shape[0])
+    midx_b, n_kp_b, n_mp_b, n_cur_b, meas_b, info_b, n_good_b = (
+        verify_and_build_batch(
+            ms, k, jnp.clip(vec, 0), keys, cfg, n_trials=n_trials
+        )
+    )
+
+    # sparsified feature edges, applied by mask (UpdateFeatGraph,
+    # src/Map.cpp:857-889)
+    n_feat = jnp.asarray(0, i32)
+    for c in range(int(cands.shape[0])):
+        ok_c = (vec[c] >= 0) & (n_mp_b[c] >= 10) & (n_good_b[c] >= 10)
+        ms = add_ftr_edge(
+            ms, jnp.clip(vec[c], 0), k, meas_b[c], info_b[c],
+            active=ok_c,
+        )
+        n_feat = n_feat + ok_c.astype(i32)
+
+    n_kp, n_mp = n_kp_b[-1], n_mp_b[-1]
+    n_cur, n_good = n_cur_b[-1], n_good_b[-1]
+    fire = (
+        (loop_cand >= 0)
+        & (n_mp >= cfg.gm_vcl_num_min_match_mp)
+        & (n_kp >= cfg.gm_vcl_num_min_match_kp)
+        & (n_mp.astype(jnp.float32)
+           >= cfg.gm_vcl_ratio_min_match_mp
+           * jnp.maximum(n_cur, 1).astype(jnp.float32))
+        & (n_good >= cfg.gm_vcl_num_min_match_mp)
+    )
+    evicted = fire & jnp.all(ms.ftr_valid)
+    cand_c = jnp.clip(loop_cand, 0)
+    midx = midx_b[-1]
+
+    def do_close(m):
+        m = add_ftr_edge(
+            m, cand_c, k, meas_b[-1], info_b[-1], evict_if_full=True
+        )
+        m = merge_loop_mps(m, k, cand_c, midx)
+        m, _ = run_global_ba(m, iters=gba_iters, huber=cfg.gm_pg_huber)
+        if joint_iters > 0:
+            m, _ = run_global_ba_joint(m, cfg, iters=joint_iters)
+        return m
+
+    ms = jax.lax.cond(fire, do_close, lambda m: m, ms)
+    new_last = jnp.where(
+        fire, jnp.stack([cand_c, k]), jnp.asarray(last_loop, i32)
+    )
+    outs = {
+        "fired": fire,
+        "cand": loop_cand,
+        "k": k,
+        "evicted": evicted,
+        "n_feat_edges": n_feat,
+        "midx": midx,
+        "last_loop": new_last,
+    }
+    return ms, bank, outs
+
+
 class LoopCloser:
     """Host-driven loop-closing controller (the GlobalMapper thread's
     role). Holds the trained vocabulary and the per-KF BoW bank."""
@@ -826,19 +943,93 @@ class LoopCloser:
         self.vocab = None
         self.bank = None          # (Kmax, W) BoW vectors
         self.key = jax.random.PRNGKey(42)
-        self.n_loops_closed = 0
-        self.n_ftr_evicted = 0     # bank-full closures that evicted an edge
-        self.last_loop: tuple[int, int] | None = None
+        self._n_loops_closed = 0
+        self._n_ftr_evicted = 0    # bank-full closures that evicted an edge
+        self._last_loop_host: tuple[int, int] | None = None
         self.last_loop_midx = None          # (N,) loop→cur feature matches
         self.last_global_ba_info: dict | None = None
+        # device mirror of the temporal-throttle state for the fused
+        # single-dispatch path (loop_stage): [cand, k] of the last
+        # closure, [-1, -1] if none
+        self._last_loop_dev = jnp.asarray([-1, -1], jnp.int32)
+        # fused-path result records not yet read back (host counters
+        # ride a later pull; see _drain_outs)
+        self._outs_pending: list[dict] = []
         # host-sync accounting: device_get count of the most recent
-        # on_new_kf call (the per-KF sync budget is ≤2 — one for the
-        # detect/cands pull, one for ALL verify gates batched together)
+        # on_new_kf call (the per-KF sync budget: ≤2 for the staged
+        # driver, 0 for the fused single-dispatch path)
         self.last_kf_pulls = 0
 
     def _pull(self, x):
         self.last_kf_pulls += 1
         return jax.device_get(x)
+
+    # ---- host bookkeeping mirrors (drain fused-path results on read) --
+    def _drain_outs(self):
+        if not self._outs_pending:
+            return
+        outs, self._outs_pending = self._outs_pending, []
+        vals = jax.device_get(
+            [(o["fired"], o["cand"], o["k"], o["evicted"]) for o in outs]
+        )
+        for (fired, cand, kk, ev), o in zip(vals, outs):
+            if bool(fired):
+                self._n_loops_closed += 1
+                self._last_loop_host = (int(cand), int(kk))
+                self._last_loop_dev = o["last_loop"]
+                self.last_loop_midx = o["midx"]
+            self._n_ftr_evicted += int(ev)
+
+    @property
+    def n_loops_closed(self) -> int:
+        self._drain_outs()
+        return self._n_loops_closed
+
+    @property
+    def n_ftr_evicted(self) -> int:
+        self._drain_outs()
+        return self._n_ftr_evicted
+
+    @property
+    def last_loop(self) -> tuple[int, int] | None:
+        self._drain_outs()
+        return self._last_loop_host
+
+    @last_loop.setter
+    def last_loop(self, v):
+        # compaction remaps slot ids (system._remap_slots) — keep the
+        # device throttle mirror consistent with the host value
+        self._last_loop_host = v
+        self._last_loop_dev = jnp.asarray(
+            [-1, -1] if v is None else [v[0], v[1]], jnp.int32
+        )
+
+    def on_new_kf_fused(self, ms: MapState, k) -> MapState:
+        """Single-dispatch per-KF global-mapping stage (loop_stage): the
+        entire detect→verify→gate→close pipeline runs on device,
+        including the closure itself under lax.cond — the host reads
+        back NOTHING here (counters drain on a later pull). ``k`` may
+        stay a device scalar. Single-device path; the mesh path keeps
+        the staged driver (shard_map solvers inside cond are not worth
+        the trace complexity)."""
+        self.last_kf_pulls = 0
+        self._n_inserts += 1
+        have_vocab = self._ensure_vocab(ms, n_inserts=self._n_inserts)
+        self.key, sub = jax.random.split(self.key)
+        ms, bank, outs = loop_stage(
+            ms, k, self.bank if have_vocab else jnp.zeros((1, 1)),
+            self.vocab, self._last_loop_dev, sub, self.cfg,
+            n_trials=self.cfg.cap.ransac_trials,
+            gba_iters=self.global_ba_iters,
+            joint_iters=self.cfg.gm_joint_ba_iters,
+            min_between=self.min_kfs_between_loops,
+            have_vocab=have_vocab,
+        )
+        if have_vocab:
+            self.bank = bank
+        self._last_loop_dev = outs["last_loop"]
+        self._outs_pending.append(outs)
+        return ms
 
     def adopt_vocab(self, vocab, ms: MapState):
         """Install a vocabulary and backfill the BoW bank for every
@@ -1042,7 +1233,7 @@ class LoopCloser:
             # constraint bank full: add_ftr_edge evicts its lowest-
             # information edge so the verified closure still lands —
             # count the eviction (callers can raise MAX_FTR_EDGES)
-            self.n_ftr_evicted += 1
+            self._n_ftr_evicted += 1
         cand = loop_cand
         midx = pending["midx_b"][-1]
         ms = add_ftr_edge(
@@ -1071,8 +1262,8 @@ class LoopCloser:
                     ms, cfg, iters=cfg.gm_joint_ba_iters
                 )
             gba_info = {**gba_info, "joint": joint_info}
-        self.n_loops_closed += 1
-        self.last_loop = (cand, k)
+        self._n_loops_closed += 1
+        self.last_loop = (cand, k)          # setter syncs the dev mirror
         self.last_loop_midx = midx          # for the debug-image loop pane
         self.last_global_ba_info = gba_info
         return ms, None, True

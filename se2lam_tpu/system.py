@@ -871,44 +871,36 @@ class SlamSystem:
         # pose/map bake in (merge + GlobalBA rewrite the state the new
         # keyframe chains from); by now its device values are computed,
         # so any remaining pull costs ~RTT, overlapped with the replay
-        # scan the chunked caller just dispatched
+        # scan the chunked caller just dispatched. (Staged/mesh path
+        # only — the fused path applies closures device-side in order.)
         self._finish_loop_pending()
         cfg, ts = self.cfg, self.ts
+        # the whole insert→prune→local-BA stage is ONE compiled program
+        # (localmap.insert_and_optimize): dispatched piecewise it was ~8
+        # op launches of tunnel latency per keyframe (DESIGN §17).
+        # protect: the OUTGOING tracking reference — recent frames'
+        # retro-correction anchors point at it, and a pruned KF's pose
+        # freezes out of future BA/loop corrections.
         t0 = time.perf_counter()
-        self.ms, k = localmap.add_keyframe(
-            self.ms,
-            feats,
-            ts.cur_pose,
-            odo,
-            ts.ref_kf_idx,
-            ts.match_idx,
-            ts.local_mps,
-            ts.local_mp_valid,
-            ts.good_prl,
-            ts.pre_meas,
-            ts.pre_cov,
-            cfg,
-        )
-        self.timings["add_kf"] = time.perf_counter() - t0
-
-        # bounded pruning rounds before BA (LocalMapper run loop order:
-        # prune ≤5 then localBA, src/LocalMapper.cpp:304-364; each call
-        # removes at most one redundant KF). No host sync on the result:
-        # a no-candidate round is already a device-side no-op, and an
-        # early-exit check would cost a device round-trip per round.
-        t0 = time.perf_counter()
-        for _ in range(self.prune_rounds):
-            # protect the OUTGOING tracking reference too: recent frames'
-            # retro-correction anchors point at it, and a pruned KF's pose
-            # freezes out of future BA/loop corrections
-            self.ms, _kid = localmap.prune_redundant_kf(
-                self.ms, k, protect=self._ref_kf_host, cfg=cfg
+        self.ms, k, view_mp, obs_mask, ba_info = (
+            localmap.insert_and_optimize(
+                self.ms,
+                feats,
+                ts.cur_pose,
+                odo,
+                ts.ref_kf_idx,
+                ts.match_idx,
+                ts.local_mps,
+                ts.local_mp_valid,
+                ts.good_prl,
+                ts.pre_meas,
+                ts.pre_cov,
+                jnp.asarray(self._ref_kf_host, jnp.int32),
+                cfg,
+                prune_rounds=self.prune_rounds,
             )
-        self.timings["prune"] = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        self.ms, ba_info = localmap.run_local_ba(self.ms, k, cfg)
-        self.timings["local_ba"] = time.perf_counter() - t0
+        )
+        self.timings["insert"] = time.perf_counter() - t0
         if self.log_ba:
             # the printOptInfo analog (src/LocalMapper.cpp:374-440):
             # aggregate chi2 before/after + problem size, ONE device pull
@@ -924,23 +916,35 @@ class SlamSystem:
                 "n_mp": int(rec[5]),
             })
 
-        if self.enable_loops and self._loop_closer is not None:
+        lc = self._loop_closer
+        if self.enable_loops and lc is not None:
             t0 = time.perf_counter()
-            if self.async_mapping:
-                # dispatch-only: the detect scalars ride the next
-                # control pull and the stage advances between frames
-                # (Track ∥ GlobalMapper overlap, src/OdoSLAM.cpp:142-150)
-                self._loop_pending = self._loop_closer.start_async(
-                    self.ms, k
-                )
+            if self.async_mapping and not lc._dist:
+                # single-device default: the ENTIRE loop stage is one
+                # device dispatch with the closure applied under
+                # lax.cond — the host reads back nothing (counters
+                # drain on later pulls). Track ∥ GlobalMapper overlap
+                # (src/OdoSLAM.cpp:142-150) falls out for free: the
+                # program chains behind tracking dispatches without a
+                # sync point.
+                self.ms = lc.on_new_kf_fused(self.ms, k)
+                # the closure (if any) already landed: reseed below
+                # reads post-closure state — same order as sync mode
+                view_mp, obs_mask = localmap.kf_track_seed(self.ms, k)
+            elif self.async_mapping:
+                # mesh path: staged driver — shard_map solvers stay
+                # outside lax.cond; stage scalars ride later pulls
+                self._loop_pending = lc.start_async(self.ms, int(k))
                 self._loop_fetched = None
             else:
-                self.ms = self._loop_closer.on_new_kf(self.ms, k)
+                self.ms = lc.on_new_kf(self.ms, int(k))
+                view_mp, obs_mask = localmap.kf_track_seed(self.ms, k)
             self.timings["loop"] = time.perf_counter() - t0
 
         # reset tracking against the (BA-refined) new reference KF
-        # (Track::resetLocalTrack, src/Track.cpp:195-209)
-        view_mp, obs_mask = localmap.kf_track_seed(self.ms, k)
+        # (Track::resetLocalTrack, src/Track.cpp:195-209); view_mp /
+        # obs_mask come fused from insert_and_optimize unless a loop
+        # stage re-wrote observations above
         new_ref_pose = self.ms.kf_pose[k]
         self.ts = tracking.init_track_state(
             feats,

@@ -28,7 +28,15 @@ def _feed(slam, world, gt, odo, chunk=0):
     return slam
 
 
-def test_async_mapping_matches_sync():
+def test_fused_loop_stage_matches_sync_driver():
+    """The fused single-dispatch loop stage (async_mapping default,
+    loopclose.loop_stage — detect/verify/gates/closure all traced, zero
+    host pulls) vs the staged synchronous driver (on_new_kf). The two
+    consume different RNG streams (the fused program splits a key every
+    keyframe and verifies a fixed-width batch; the staged driver splits
+    only when candidates exist), so parity is SEMANTIC: same keyframes,
+    loops close in both, both beat odometry, trajectories agree to
+    loop-closure-realization tolerance."""
     from se2lam_tpu.io import SyntheticWorld, ate_se2
     from se2lam_tpu.system import SlamSystem
 
@@ -39,28 +47,22 @@ def test_async_mapping_matches_sync():
     odo = world.odometry(gt, noise=(0.012, 0.006, 0.006), seed=3)
 
     sync = _feed(SlamSystem(cfg, async_mapping=False), world, gt, odo)
-    asyn = _feed(SlamSystem(cfg), world, gt, odo)   # default: async
+    fusd = _feed(SlamSystem(cfg), world, gt, odo)   # default: fused
 
     assert sync._loop_closer.n_loops_closed >= 1
-    # corrected_trajectory force-lands any deferred stage
+    assert fusd._loop_closer.n_loops_closed >= 1
+    assert fusd._loop_closer.last_kf_pulls == 0, (
+        "the fused loop stage must not pull on the hot path"
+    )
     corr_s = sync.corrected_trajectory()
-    corr_a = asyn.corrected_trajectory()
-    assert asyn._loop_pending is None
-    assert (
-        asyn._loop_closer.n_loops_closed
-        == sync._loop_closer.n_loops_closed
-    )
-    assert asyn.kf_frame_ids == sync.kf_frame_ids
-    np.testing.assert_allclose(
-        np.asarray(asyn.ms.kf_pose), np.asarray(sync.ms.kf_pose),
-        atol=1e-4,
-    )
-    np.testing.assert_allclose(corr_a, corr_s, atol=1e-4)
+    corr_f = fusd.corrected_trajectory()
+    assert fusd.kf_frame_ids == sync.kf_frame_ids
 
-    ate_a, _ = ate_se2(corr_a[:, 1:3], gt[: len(corr_a), :2])
+    ate_f, _ = ate_se2(corr_f[:, 1:3], gt[: len(corr_f), :2])
     ate_s, _ = ate_se2(corr_s[:, 1:3], gt[: len(corr_s), :2])
     ate_o, _ = ate_se2(odo[:, :2], gt[:, :2])
-    assert ate_a < ate_o and ate_s < ate_o
+    assert ate_f < ate_o and ate_s < ate_o
+    assert abs(ate_f - ate_s) < 0.03, (ate_f, ate_s)
 
 
 def test_async_mapping_chunked_matches_per_frame_corrected():
