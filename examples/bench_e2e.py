@@ -36,6 +36,11 @@ def main():
                     help="timed frames (after an equal warm-up lap)")
     ap.add_argument("--per-frame", action="store_true",
                     help="also time the 1-sync-per-frame mode")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="also time the depth-d pipelined per-frame "
+                         "mode (process_async)")
+    ap.add_argument("--depth", type=int, nargs="*", default=[3],
+                    help="pipeline depths to time with --pipelined")
     ap.add_argument("--ab-sync", action="store_true",
                     help="also time async_mapping=False (the inline "
                          "loop stage) in the SAME session for a fair "
@@ -76,13 +81,18 @@ def main():
     frames = [np.asarray(world.render(gt[i]), np.uint8) for i in range(total)]
     odos = [np.asarray(gt[i], np.float32) for i in range(total)]
 
-    def run(chunked: bool, lo: int, hi: int, slam: SlamSystem):
+    def run(chunked: bool, lo: int, hi: int, slam: SlamSystem,
+            pipelined: bool = False):
         t0 = time.perf_counter()
         if chunked:
             for i in range(lo, hi, k):
                 nxt = frames[i + k:i + 2 * k] if i + 2 * k <= hi else None
                 slam.process_chunk(frames[i:i + k], odos[i:i + k],
                                    next_imgs=nxt)
+        elif pipelined:
+            for i in range(lo, hi):
+                slam.process_async(frames[i], odos[i])
+            slam.flush_async()
         else:
             for i in range(lo, hi):
                 slam.process(frames[i], odos[i])
@@ -126,6 +136,18 @@ def main():
         results["e2e_per_frame_fps"] = round(n / timed2, 1)
         print(f"per-frame:   {n / timed2:.1f} fps wall "
               f"({int(slam2.ms.n_kf)} KFs; warm-up {warm2:.1f}s)")
+
+    if args.pipelined:
+        for d in args.depth:
+            slam3 = SlamSystem(cfg, enable_loops=True)
+            slam3.pipeline_depth = d
+            warm3 = run(False, 0, n_warm, slam3, pipelined=True)
+            timed3 = run(False, n_warm, total, slam3, pipelined=True)
+            results[f"e2e_pipelined_d{d}_fps"] = round(n / timed3, 1)
+            print(f"pipelined d={d}: {n / timed3:.1f} fps wall "
+                  f"({int(slam3.ms.n_kf)} KFs, "
+                  f"{slam3._loop_closer.n_loops_closed} loops; "
+                  f"warm-up {warm3:.1f}s)")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -31,6 +31,21 @@ from .utils.chunking import pad_chunk
 __all__ = ["SlamSystem"]
 
 
+def _host_prefetch(*arrays):
+    """Start async device→host copies for values destined to ride a
+    future control pull. Purely a performance hint — a later
+    ``device_get`` is correct (just slower) without it. Measured over
+    the axon tunnel: a scalar fetched ~35 ms after its async copy costs
+    ~0.3 ms instead of the ~50 ms synchronous RTT (docs/DESIGN.md §18)."""
+    for a in arrays:
+        f = getattr(a, "copy_to_host_async", None)
+        if f is not None:
+            try:
+                f()
+            except Exception:
+                pass
+
+
 def _np_se2_minus(pose, ref):
     """Host-side ``se2.minus``: ``pose`` expressed in ``ref``'s frame.
     One copy shared by every host-side anchor site — _np_se2_compose is
@@ -167,6 +182,15 @@ class SlamSystem:
         self._pending_img = None
         self._resume_pending = False
         self._finished = False
+        # pipelined per-frame feed (process_async): in-flight frames
+        # whose tracking is dispatched speculatively and whose control
+        # decisions resolve ``pipeline_depth`` frames later
+        from collections import deque
+
+        self._pipe = deque()
+        # depth 4 = best min-of-sessions fps in the 47-65 fps band all
+        # depths 2-8 land in (E2E_BENCH.json), at 4-frame pose latency
+        self.pipeline_depth = 4
 
     @classmethod
     def resume(cls, cfg: SystemConfig, map_path: str,
@@ -360,6 +384,7 @@ class SlamSystem:
         return self.process_features(self.extract(img), odo)
 
     def process_features(self, feats: OrbFeatures, odo) -> np.ndarray:
+        self._drain_pipe()
         cfg = self.cfg
         odo = jnp.asarray(odo, jnp.float32)
 
@@ -412,6 +437,17 @@ class SlamSystem:
         )
         self.timings["track"] = time.perf_counter() - t0
 
+        return self._apply_frame_decisions(
+            need_kf, pose, n_kf, n_mp, feats, odo
+        )
+
+    def _apply_frame_decisions(self, need_kf, pose, n_kf, n_mp,
+                               feats: OrbFeatures, odo) -> np.ndarray:
+        """Host-side per-frame control logic shared by the synchronous
+        and pipelined feeds: anchor record, deferred-loop advance, KF
+        decision with capacity pressure, trajectory append. Caller must
+        have ``self.ts`` set to the tracking state AFTER this frame."""
+        cfg = self.cfg
         # anchor record for retro-correction: this frame's pose relative
         # to its reference KF (whose estimate later BA/loop closures move).
         # Host-side bookkeeping only — no extra device syncs.
@@ -441,6 +477,99 @@ class SlamSystem:
         self.trajectory.append((self.frame_id, pose))
         self.frame_id += 1
         return pose
+
+    # ---- pipelined per-frame feed (depth-d speculative dispatch) ----
+
+    def process_async(self, img, odo) -> np.ndarray | None:
+        """Pipelined per-frame feed: dispatch this frame's tracking now,
+        return the pose of the frame resolved ``pipeline_depth`` calls
+        ago (or ``None`` while the pipeline fills; ``flush_async``
+        drains the tail).
+
+        Per-frame mode pays one ~RTT control pull per frame — a hard
+        ~1/RTT fps ceiling on a remote-attached chip. Here the pull's
+        device→host copy starts at dispatch (``_host_prefetch``) and is
+        consumed ``pipeline_depth`` frames later, by which time it has
+        long landed — tracking is dispatched speculatively against the
+        no-keyframe assumption exactly like ``process_chunk``'s scan,
+        and any resolve that mutates tracking state (keyframe insertion,
+        loop-closure gauge re-base, capacity relief) replays the
+        in-flight frames from the corrected state, so results match the
+        synchronous path to numerical identity (tests/test_pipelined.py).
+        The reference's pose consumer is asynchronous the same way:
+        getCurrentVehiclePose reads whatever Track last published
+        (src/OdoSLAM.cpp:60-73)."""
+        if self._viz_dir is not None:
+            self._last_img = np.asarray(img)
+        return self.process_features_async(self.extract(img), odo)
+
+    def process_features_async(self, feats: OrbFeatures,
+                               odo) -> np.ndarray | None:
+        if self.ts is None:
+            # bootstrap / resume: no tracking state to speculate from —
+            # these frames resolve synchronously (and immediately)
+            assert not self._pipe
+            return self.process_features(feats, odo)
+        self._pipe_submit(feats, odo)
+        pose = None
+        while len(self._pipe) > max(0, int(self.pipeline_depth)):
+            pose = self._pipe_resolve_one()
+        return pose
+
+    def flush_async(self) -> np.ndarray:
+        """Resolve every in-flight frame; returns their (n, 3) poses."""
+        out = []
+        while self._pipe:
+            out.append(self._pipe_resolve_one())
+        return np.asarray(out, np.float32).reshape(-1, 3)
+
+    def _drain_pipe(self):
+        while self._pipe:
+            self._pipe_resolve_one()
+
+    def _pipe_submit(self, feats: OrbFeatures, odo):
+        odo = jnp.asarray(odo, jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        base = self._pipe[-1][3] if self._pipe else self.ts
+        ts_new, res = tracking.track_frame(base, feats, odo, sub, self.cfg)
+        pulls = (res.need_kf, res.pose, self.ms.n_kf, self.ms.n_mp)
+        _host_prefetch(*pulls)
+        img = self._last_img if self._viz_dir is not None else None
+        self._pipe.append([feats, odo, sub, ts_new, pulls, img])
+
+    def _pipe_resolve_one(self) -> np.ndarray:
+        feats, odo, sub, ts_new, pulls, img = self._pipe.popleft()
+        self.ts = ts_new
+        if img is not None:
+            self._last_img = img
+        t0 = time.perf_counter()
+        need_kf, pose, n_kf, n_mp = self._pull_with_mirror(*pulls)
+        self.timings["track"] = time.perf_counter() - t0
+        pose = self._apply_frame_decisions(
+            need_kf, pose, n_kf, n_mp, feats, odo
+        )
+        if self._pipe and self.ts is not ts_new:
+            # the resolve mutated tracking state (keyframe insertion,
+            # gauge re-base, or capacity relief): the in-flight frames
+            # speculated against a stale state — replay them from the
+            # corrected one (the per-frame analog of process_chunk's
+            # post-fire re-scan). Dispatch-only: ~ms each, no syncs.
+            self._pipe_replay()
+        return pose
+
+    def _pipe_replay(self):
+        entries = list(self._pipe)
+        self._pipe.clear()
+        base = self.ts
+        for e in entries:
+            feats, odo, sub = e[0], e[1], e[2]
+            ts_new, res = tracking.track_frame(
+                base, feats, odo, sub, self.cfg
+            )
+            pulls = (res.need_kf, res.pose, self.ms.n_kf, self.ms.n_mp)
+            _host_prefetch(*pulls)
+            self._pipe.append([feats, odo, sub, ts_new, pulls, e[5]])
+            base = ts_new
 
     def _anchor_rel(self, pose: np.ndarray) -> np.ndarray:
         """This frame's SE(2) pose relative to the current reference KF's
@@ -490,6 +619,11 @@ class SlamSystem:
         fetch_loop = lp is not None and self._loop_fetched is None
         if fetch_loop:
             tail = tail + tuple(lp["want"])
+        # start async copies before the blocking get: over the axon
+        # tunnel the copy+get pattern measures ~half the sync-get RTT
+        # even back-to-back, and is free when a _host_prefetch at the
+        # value's creation already landed the bytes (DESIGN §18)
+        _host_prefetch(*tail)
         out = jax.device_get(tail)
         if pend is not None:
             self._apply_mirror(
@@ -539,6 +673,8 @@ class SlamSystem:
             self.ms, self._loop_pending, closed = lc.advance(
                 self.ms, self._loop_pending, fetched
             )
+            if self._loop_pending is not None:
+                _host_prefetch(*self._loop_pending["want"])
             if closed:
                 self._rebase_gauge()
             if not block and self._loop_pending is not None:
@@ -572,6 +708,7 @@ class SlamSystem:
             self._mirror_pending = (mir[0], new_ref, mir[2], mir[3])
         else:
             self._mirror_pending = (ts.ref_kf_idx, new_ref, None, -1)
+        _host_prefetch(self._mirror_pending[0], new_ref)
 
     def process_chunk(self, imgs, odos, next_imgs=None) -> np.ndarray:
         """Feed ``k`` (image, odometry) pairs with ONE keyframe-decision
@@ -594,6 +731,7 @@ class SlamSystem:
         """
         k = len(imgs)
         assert len(odos) == k
+        self._drain_pipe()
         poses_out: list[np.ndarray] = []
         idx = 0
         # bootstrap / resume paths stay per-frame until tracking exists
@@ -936,6 +1074,7 @@ class SlamSystem:
                 # outside lax.cond; stage scalars ride later pulls
                 self._loop_pending = lc.start_async(self.ms, int(k))
                 self._loop_fetched = None
+                _host_prefetch(*self._loop_pending["want"])
             else:
                 self.ms = lc.on_new_kf(self.ms, int(k))
                 view_mp, obs_mask = localmap.kf_track_seed(self.ms, k)
@@ -965,6 +1104,7 @@ class SlamSystem:
         if self._frame_anchors and self._frame_anchors[-1][0] == self.frame_id:
             fix_idx = len(self._frame_anchors) - 1
         self._mirror_pending = (k, new_ref_pose, fix_idx, self.frame_id)
+        _host_prefetch(k, new_ref_pose)
 
         # in-run observability cadence (enable_viz)
         if (
@@ -1011,12 +1151,14 @@ class SlamSystem:
     # -- outputs (OdoSLAM::saveMap trajectory dump, src/OdoSLAM.cpp:199-214) --
 
     def current_pose(self) -> np.ndarray:
+        self._drain_pipe()
         if self.trajectory:
             return self.trajectory[-1][1]
         return np.zeros(3, np.float32)
 
     def kf_trajectory(self) -> np.ndarray:
         """(nKF, 5) rows of [idKF, x, y, z, yaw] in the reference format."""
+        self._drain_pipe()
         self._finish_loop_pending()
         n = int(self.ms.n_kf)
         poses = np.asarray(self.ms.kf_pose[:n])
@@ -1044,6 +1186,7 @@ class SlamSystem:
         loop closures. (The live `trajectory` list keeps the poses as
         they were published; the reference offers only the final KF dump,
         src/OdoSLAM.cpp:199-214.)"""
+        self._drain_pipe()
         self._finish_loop_pending()   # a deferred closure must land first
         self._flush_mirror()   # a pending anchor fix must land first
         kf_pose = np.asarray(self.ms.kf_pose)   # one device fetch
@@ -1061,6 +1204,7 @@ class SlamSystem:
     def save_frame_trajectory(self, path: str):
         """Per-frame CSV: frame_id, x, y, theta (the SLAM-mode analog of
         the Localizer's per-frame dump, src/Localizer.cpp:178-193)."""
+        self._drain_pipe()
         with open(path, "w") as f:
             for fid, p in self.trajectory:
                 f.write(f"{fid},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f}\n")
@@ -1083,18 +1227,21 @@ class SlamSystem:
     def request_finish(self):
         """OdoSLAM::requestFinish — lands any deferred loop stage and
         marks the session done."""
+        self._drain_pipe()
         self._finish_loop_pending()
         self._finished = True
 
     def wait_for_finish(self):
         """OdoSLAM::waitForFinish — drains the deferred loop stage (the
         only 'thread' the functional design has in flight)."""
+        self._drain_pipe()
         self._finish_loop_pending()
         self._finished = True
 
     def save_map(self, path: str, with_vocab: bool = True):
         """OdoSLAM's shutdown save (SAVE_NEW_MAP + the KF-trajectory
         dump, src/OdoSLAM.cpp:192-215): map checkpoint + trajectory txt."""
+        self._drain_pipe()
         self._finish_loop_pending()
         from .io.mapstorage import save_map as _save
 
@@ -1126,8 +1273,10 @@ class SlamSystem:
         )
 
     def n_keyframes(self) -> int:
+        self._drain_pipe()
         return int(self.ms.n_kf)
 
     def n_map_points(self) -> int:
+        self._drain_pipe()
         self._finish_loop_pending()   # a deferred merge changes the count
         return int(jnp.sum(self.ms.mp_valid))
