@@ -7,7 +7,7 @@ hosts don't run ROS; this serves the same loop over a plain socket
 examples/feed_live.py or any client speaking the 4-line protocol.
 
 Usage:
-  python examples/serve_live.py [--port 7207] [--chunk 8]
+  python examples/serve_live.py [--port 7207] [--chunk 8 | --pipeline 4]
       [--map PATH]            # RESUME MAPPING on an existing checkpoint
                               # (relocalizes, then keeps extending it)
       [--map PATH --localize] # read-only localization against the
@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--port", type=int, default=7207)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--flush-ms", type=float, default=50.0)
+    ap.add_argument("--pipeline", type=int, default=None, metavar="D",
+                    help="depth-D pipelined per-frame serving "
+                         "(process_async): replies lag ~D frames "
+                         "instead of up to --chunk")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--features", type=int, default=1000)
@@ -63,8 +67,11 @@ def main():
         system = SlamSystem(cfg, enable_loops=True)
 
     server = SlamServer(system, host=args.host, port=args.port,
-                        chunk=args.chunk, flush_ms=args.flush_ms)
-    print(f"serving on {server.address} (chunk={args.chunk}); Ctrl-C stops")
+                        chunk=args.chunk, flush_ms=args.flush_ms,
+                        pipeline=args.pipeline)
+    mode = (f"pipeline={args.pipeline}" if args.pipeline is not None
+            else f"chunk={args.chunk}")
+    print(f"serving on {server.address} ({mode}); Ctrl-C stops")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -70,15 +70,24 @@ class SlamServer:
 
     `system` must expose `process_chunk(imgs, odos) -> (k, 3) poses`
     (SlamSystem does; a mapping or localization session both work
-    through it). One client at a time — the map state is a single
-    sequential estimator, exactly like the reference's one OdoSLAM
-    instance per process (src/OdoSLAM.cpp:75-157).
+    through it) — or, with ``pipeline=`` set, the pipelined feed
+    `process_async`/`flush_async`/`trajectory`. One client at a time —
+    the map state is a single sequential estimator, exactly like the
+    reference's one OdoSLAM instance per process (src/OdoSLAM.cpp:75-157).
     """
 
     def __init__(self, system, host: str = "127.0.0.1", port: int = 0,
-                 chunk: int = 8, flush_ms: float = 50.0):
+                 chunk: int = 8, flush_ms: float = 50.0,
+                 pipeline: int | None = None):
+        """``pipeline``: serve with the depth-d pipelined per-frame feed
+        (`process_async`, DESIGN §18) instead of chunk batching — each
+        frame's reply lags ~``pipeline`` frames instead of up to
+        ``chunk``, at comparable throughput. The system must expose
+        `process_async`/`flush_async`/`trajectory` (SlamSystem and
+        Localizer both do)."""
         self.system = system
         self.chunk = max(1, int(chunk))
+        self.pipeline = pipeline
         self.flush_s = flush_ms / 1e3
         self._sock = socket.create_server((host, port))
         self._sock.settimeout(1.0)
@@ -145,6 +154,9 @@ class SlamServer:
             )
         conn.sendall(_HELLO_ACK.pack(_MAGIC, 1))
         n_px = H * W
+        if self.pipeline is not None:
+            self._serve_client_pipelined(conn, H, W)
+            return
 
         ids: list[int] = []
         imgs: list[np.ndarray] = []
@@ -210,6 +222,74 @@ class SlamServer:
         # stop() during an active stream: reply to everything buffered —
         # the protocol promises one reply per frame (latency, not loss)
         flush()
+
+    def _serve_client_pipelined(self, conn: socket.socket, H: int, W: int):
+        """Depth-d pipelined serving: one `process_async` per received
+        frame, replies drained from the estimator's trajectory as
+        frames resolve — per-frame reply latency ~`pipeline` frames
+        (+ the flush_ms quiet cap) instead of up to `chunk`."""
+        from collections import deque
+
+        n_px = H * W
+        sys_ = self.system
+        sys_.pipeline_depth = max(0, int(self.pipeline))
+        outstanding: deque[int] = deque()   # wire fids in feed order
+        traj_base = len(sys_.trajectory)
+        conn.settimeout(self.flush_s)
+
+        def reply_resolved():
+            nonlocal traj_base
+            traj = sys_.trajectory
+            out = bytearray()
+            while traj_base < len(traj) and outstanding:
+                ent = traj[traj_base]
+                traj_base += 1
+                fid = outstanding.popleft()
+                p = ent[1]
+                if p is None:
+                    out += _REPLY.pack(fid, 0.0, 0.0, 0.0, 0)
+                else:
+                    out += _REPLY.pack(
+                        fid, float(p[0]), float(p[1]), float(p[2]), 1
+                    )
+                self.frames_served += 1
+            if out:
+                conn.settimeout(10.0)
+                try:
+                    conn.sendall(bytes(out))
+                finally:
+                    conn.settimeout(self.flush_s)
+
+        def flush_all():
+            sys_.flush_async()
+            reply_resolved()
+
+        while not self._stop.is_set():
+            try:
+                first = conn.recv(1)
+            except socket.timeout:
+                # quiet feed: resolve in-flight frames (latency cap)
+                flush_all()
+                continue
+            if not first:
+                flush_all()
+                return
+            deadline = time.monotonic() + 10.0
+            hdr = first + _recv_exact(
+                conn, _FRAME_HDR.size - 1, self._stop, deadline=deadline
+            )
+            fid, x, y, th = _FRAME_HDR.unpack(hdr)
+            if fid == _END_ID:
+                flush_all()
+                return
+            img = np.frombuffer(
+                _recv_exact(conn, n_px, self._stop, deadline=deadline),
+                np.uint8,
+            ).reshape(H, W)
+            outstanding.append(fid)
+            sys_.process_async(img, np.asarray([x, y, th], np.float32))
+            reply_resolved()
+        flush_all()
 
 
 class LiveClient:

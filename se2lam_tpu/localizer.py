@@ -174,6 +174,32 @@ def _localize_chunk(
     return poses, tracked
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _localize_step(ms: MapState, pose, last_odom, feats: OrbFeatures,
+                   odo, min_matches, cfg: SystemConfig):
+    """One tracked-path localization step with the accept decision ON
+    DEVICE (the k=1 analog of _localize_chunk's body): odometry
+    prediction, projection match, pose-only solve, and the tracked
+    gates — matches ≥ gate, inliers ≥ gate, covisible-KF set nonempty
+    (DetectIfLost, src/Localizer.cpp:304-313). Returns (pose_out, ok);
+    ``pose_out`` falls back to the previous pose when not ok (the lost
+    path is host-driven)."""
+    dtype = ms.kf_pose.dtype
+    cam = CameraModel.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist)
+    Tcb = jnp.asarray(cfg.Tcb_mat, dtype)
+    pred = se2.compose(
+        jnp.asarray(pose, dtype), se2.minus(odo, jnp.asarray(last_odom, dtype))
+    )
+    feat_match, n = _project_and_match(ms, feats, pred, cfg)
+    m = jnp.clip(feat_match, 0)
+    new_pose, _chi, n_in = solve_pose_only(
+        pred, ms.mp_pos[m], feats.xy, feat_match >= 0, cam, Tcb, iters=30,
+    )
+    n_covis = _covis_kf_count(ms, feat_match)
+    ok = (n >= min_matches) & (n_in >= min_matches) & (n_covis > 0)
+    return jnp.where(ok, new_pose, pred), ok
+
+
 @partial(jax.jit, static_argnames=("n_trials",))
 def _relocalize_verify(ms: MapState, cand, feats: OrbFeatures, key,
                        n_trials: int = 128):
@@ -257,6 +283,15 @@ class Localizer:
         self.frame_id = 0
         self.trajectory: list[tuple[int, np.ndarray, bool]] = []
         self.key = jax.random.PRNGKey(7)
+        # pipelined per-frame serving (process_async): in-flight frames
+        # with speculative tracked-path dispatches (see SlamSystem's
+        # pipelined feed, DESIGN §18; depth trades pose latency for
+        # overlap of the per-frame control pull)
+        from collections import deque
+
+        self._pipe = deque()
+        self.pipeline_depth = 4
+        self._in_resolve = False
         if vocab is None:
             # without a vocabulary there is no relocalization path, so a
             # cold start can never localize — require an explicit seed
@@ -285,6 +320,125 @@ class Localizer:
             feats = feats._replace(xy=undistort_points(self._cam, feats.xy))
         return self.process_features(feats, odo)
 
+    # -- pipelined per-frame serving --
+
+    def process_async(self, img, odo) -> np.ndarray | None:
+        """Depth-d pipelined per-frame localization: dispatch this
+        frame's tracked-path step now (decision scalars' host copy
+        starts immediately), resolve the frame submitted
+        ``pipeline_depth`` calls earlier. An accepted frame's pose IS
+        its speculative dispatch's pose, so in-flight frames stay valid
+        across accepts; only a lost transition (host-driven BoW reloc,
+        src/Localizer.cpp:88-155) re-resolves the tail per-frame.
+        Results match ``process`` exactly (tests/test_localizer.py).
+        Returns the resolved frame's pose (None while the pipeline
+        fills, or for a resolved frame that stayed lost); ``flush_async``
+        drains the tail."""
+        feats = self._extract(jnp.asarray(img))
+        if self._undistort:
+            feats = feats._replace(xy=undistort_points(self._cam, feats.xy))
+        return self.process_features_async(feats, odo)
+
+    def process_features_async(self, feats: OrbFeatures, odo):
+        odo = jnp.asarray(odo, jnp.float32)
+        if (self.lost or self.pose is None) and not self._pipe:
+            # cold start / lost with nothing in flight: BoW reloc is
+            # host-driven — run this frame synchronously
+            return self.process_features(feats, odo)
+        self._pipe_submit(feats, odo)
+        out = None
+        while len(self._pipe) > max(0, int(self.pipeline_depth)):
+            out = self._pipe_resolve_one()
+        return out
+
+    def flush_async(self) -> list:
+        """Resolve every in-flight frame; list of poses (None = lost)."""
+        out = []
+        while self._pipe:
+            out.append(self._pipe_resolve_one())
+        return out
+
+    def _drain_pipe(self):
+        while self._pipe:
+            self._pipe_resolve_one()
+
+    def _pipe_submit(self, feats: OrbFeatures, odo):
+        # speculative base: the newest in-flight dispatch, else the live
+        # tracked state. A lost tail (or a lost live state) cannot be
+        # speculated through — those entries resolve via the host path.
+        if self._pipe:
+            prev = self._pipe[-1]
+            base = (prev[2], prev[1]) if prev[2] is not None else None
+        elif not self.lost and self.pose is not None:
+            base = (jnp.asarray(self.pose), self.last_odom)
+        else:
+            base = None
+        if base is None:
+            self._pipe.append([feats, odo, None, None])
+            return
+        pose_dev, ok_dev = _localize_step(
+            self.ms, base[0], base[1], feats, odo,
+            jnp.asarray(self.min_tracked_matches, jnp.int32), self.cfg,
+        )
+        from .system import _host_prefetch
+
+        _host_prefetch(pose_dev, ok_dev)
+        self._pipe.append([feats, odo, pose_dev, ok_dev])
+
+    def _pipe_resolve_one(self):
+        feats, odo, pose_dev, ok_dev = self._pipe.popleft()
+        if pose_dev is None:
+            # unspeculated entry (queued behind a lost frame): full
+            # host path — may relocalize, may re-enter tracking
+            return self._resolve_host(feats, odo)
+        pose_h, ok_h = jax.device_get((pose_dev, ok_dev))
+        if bool(ok_h):
+            # an accepted frame's pose IS its speculative dispatch's
+            # pose — the in-flight tail stays valid, no replay needed
+            self._accept(np.asarray(pose_h, np.float32), odo, tracked=True)
+            return self.pose.copy()
+        # tracked gates failed: mirror the synchronous fall-through
+        # (mark lost, BoW reloc on the same frame)
+        self.lost = True
+        pose = self._relocalize(feats, odo)
+        if pose is not None:
+            self._accept(pose, odo, tracked=False)
+            out = self.pose.copy()
+        else:
+            self.trajectory.append((self.frame_id, None, False))
+            self.frame_id += 1
+            self.last_odom = odo
+            out = None
+        if self._pipe:
+            if not self.lost:
+                self._pipe_replay()   # re-speculate from the reloc pose
+            else:
+                for e in self._pipe:  # still lost: host path, in order
+                    e[2] = e[3] = None
+        return out
+
+    def _resolve_host(self, feats: OrbFeatures, odo):
+        self._in_resolve = True
+        try:
+            return self.process_features(feats, odo)
+        finally:
+            self._in_resolve = False
+
+    def _pipe_replay(self):
+        entries = list(self._pipe)
+        self._pipe.clear()
+        base_pose, base_odo = jnp.asarray(self.pose), self.last_odom
+        from .system import _host_prefetch
+
+        for e in entries:
+            pose_dev, ok_dev = _localize_step(
+                self.ms, base_pose, base_odo, e[0], e[1],
+                jnp.asarray(self.min_tracked_matches, jnp.int32), self.cfg,
+            )
+            _host_prefetch(pose_dev, ok_dev)
+            self._pipe.append([e[0], e[1], pose_dev, ok_dev])
+            base_pose, base_odo = pose_dev, e[1]
+
     def process_chunk(self, imgs, odos) -> list:
         """Localize ``k`` (image, odometry) pairs with ONE host sync per
         tracked run instead of 2-3 per frame (the serving shape: a robot
@@ -295,6 +449,7 @@ class Localizer:
         matching ``process``'s per-frame outputs."""
         k = len(imgs)
         assert len(odos) == k
+        self._drain_pipe()
         out: list = []
         idx = 0
         # cold start / lost state stays per-frame (BoW reloc is host-driven)
@@ -349,6 +504,8 @@ class Localizer:
         return out
 
     def process_features(self, feats: OrbFeatures, odo) -> np.ndarray | None:
+        if self._pipe and not self._in_resolve:
+            self._drain_pipe()   # a mixed-mode caller: keep frame order
         cfg = self.cfg
         odo = jnp.asarray(odo, jnp.float32)
         Tcb = jnp.asarray(cfg.Tcb_mat, jnp.float32)
@@ -464,6 +621,7 @@ class Localizer:
     def save_trajectory(self, path: str):
         """Per-frame CSV: frame_id, x, y, theta, tracked
         (Localizer::WriteTrajFile, src/Localizer.cpp:178-193)."""
+        self._drain_pipe()
         with open(path, "w") as f:
             for fid, p, tracked in self.trajectory:
                 if p is None:

@@ -287,3 +287,76 @@ def test_fleet_localizer_matches_single(built_map):
     )
     np.testing.assert_array_equal(np.asarray(tracked_m), tracked)
     np.testing.assert_allclose(np.asarray(poses_m), poses, atol=1e-3)
+
+
+def test_localizer_pipelined_matches_per_frame(built_map):
+    """process_async (depth-d pipelined serving) must reproduce the
+    per-frame loop exactly: same tracked flags, same poses, same
+    trajectory order — including the cold-start reloc (synchronous
+    until tracked) and readers draining in-flight frames."""
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+
+    gt = world.circle_trajectory(60)
+    odo = world.odometry(gt, noise=(0.002, 0.001, 0.001), seed=9)
+    start, n = 15, 24
+    frames = [np.asarray(world.render(gt[i])) for i in range(start, start + n)]
+    feeds = [np.asarray(odo[i]) for i in range(start, start + n)]
+
+    ref = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    ref_out = [ref.process(f, o) for f, o in zip(frames, feeds)]
+
+    for depth in (0, 3):
+        pip = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+        pip.pipeline_depth = depth
+        for f, o in zip(frames, feeds):
+            pip.process_async(f, o)
+        pip.flush_async()
+        assert pip.frame_id == ref.frame_id
+        tr_ref = [(t, None if p is None else tuple(np.round(p, 5)))
+                  for _, p, t in ref.trajectory]
+        tr_pip = [(t, None if p is None else tuple(np.round(p, 5)))
+                  for _, p, t in pip.trajectory]
+        assert [t for t, _ in tr_pip] == [t for t, _ in tr_ref]
+        for (_, a), (_, b) in zip(tr_pip, tr_ref):
+            assert (a is None) == (b is None)
+            if a is not None:
+                np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_localizer_pipelined_lost_midstream(built_map):
+    """A vision blackout mid-stream forces a lost transition while
+    frames are in flight: the pipelined path must fall back to the
+    host reloc path for the blackout frames and re-establish tracking
+    afterward, matching the per-frame loop's tracked flags."""
+    cfg, world, path, _ = built_map
+    ms, vocab, _ = load_map(path)
+
+    gt = world.circle_trajectory(60)
+    odo = world.odometry(gt, noise=(0.002, 0.001, 0.001), seed=9)
+    start, n = 15, 20
+    frames = [np.asarray(world.render(gt[i])) for i in range(start, start + n)]
+    feeds = [np.asarray(odo[i]) for i in range(start, start + n)]
+    for j in (9, 10):   # blackout: no features -> tracked gates fail
+        frames[j] = np.zeros_like(frames[j])
+
+    ref = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    for f, o in zip(frames, feeds):
+        ref.process(f, o)
+
+    pip = Localizer(cfg, ms, vocab, reloc_min_inliers=30)
+    pip.pipeline_depth = 3
+    for f, o in zip(frames, feeds):
+        pip.process_async(f, o)
+    pip.flush_async()
+
+    assert pip.frame_id == ref.frame_id
+    tr_ref = [t for _, _, t in ref.trajectory]
+    tr_pip = [t for _, _, t in pip.trajectory]
+    assert tr_pip == tr_ref
+    # tracking re-established after the blackout in both
+    assert tr_ref[-1] and tr_pip[-1]
+    for (_, a, _), (_, b, _) in zip(pip.trajectory, ref.trajectory):
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_allclose(a, b, atol=1e-3)
