@@ -36,6 +36,9 @@ def main():
                     help="timed frames (after an equal warm-up lap)")
     ap.add_argument("--per-frame", action="store_true",
                     help="also time the 1-sync-per-frame mode")
+    ap.add_argument("--chunk-async", action="store_true",
+                    help="also time the chunk-pipelined mode "
+                         "(process_chunk_async)")
     ap.add_argument("--pipelined", action="store_true",
                     help="also time the depth-d pipelined per-frame "
                          "mode (process_async)")
@@ -82,9 +85,13 @@ def main():
     odos = [np.asarray(gt[i], np.float32) for i in range(total)]
 
     def run(chunked: bool, lo: int, hi: int, slam: SlamSystem,
-            pipelined: bool = False):
+            pipelined: bool = False, chunk_async: bool = False):
         t0 = time.perf_counter()
-        if chunked:
+        if chunk_async:
+            for i in range(lo, hi, k):
+                slam.process_chunk_async(frames[i:i + k], odos[i:i + k])
+            slam.flush_chunk_async()
+        elif chunked:
             for i in range(lo, hi, k):
                 nxt = frames[i + k:i + 2 * k] if i + 2 * k <= hi else None
                 slam.process_chunk(frames[i:i + k], odos[i:i + k],
@@ -136,6 +143,16 @@ def main():
         results["e2e_per_frame_fps"] = round(n / timed2, 1)
         print(f"per-frame:   {n / timed2:.1f} fps wall "
               f"({int(slam2.ms.n_kf)} KFs; warm-up {warm2:.1f}s)")
+
+    if args.chunk_async:
+        slam4 = SlamSystem(cfg, enable_loops=True)
+        warm4 = run(False, 0, n_warm, slam4, chunk_async=True)
+        timed4 = run(False, n_warm, total, slam4, chunk_async=True)
+        results["e2e_chunk_async_fps"] = round(n / timed4, 1)
+        print(f"chunk-async k={k}: {n / timed4:.1f} fps wall "
+              f"({int(slam4.ms.n_kf)} KFs, "
+              f"{slam4._loop_closer.n_loops_closed} loops; "
+              f"warm-up {warm4:.1f}s)")
 
     if args.pipelined:
         for d in args.depth:

@@ -191,6 +191,10 @@ class SlamSystem:
         # depth 4 = best min-of-sessions fps in the 47-65 fps band all
         # depths 2-8 land in (E2E_BENCH.json), at 4-frame pose latency
         self.pipeline_depth = 4
+        # chunk-granularity pipeline (process_chunk_async): one chunk
+        # in flight — its scan + decision copies overlap the previous
+        # chunk's resolve
+        self._chunk_pipe = deque()
 
     @classmethod
     def resume(cls, cfg: SystemConfig, map_path: str,
@@ -505,6 +509,8 @@ class SlamSystem:
 
     def process_features_async(self, feats: OrbFeatures,
                                odo) -> np.ndarray | None:
+        while self._chunk_pipe:
+            self._chunk_resolve_one()   # modes can't interleave
         if self.ts is None:
             # bootstrap / resume: no tracking state to speculate from —
             # these frames resolve synchronously (and immediately)
@@ -524,6 +530,8 @@ class SlamSystem:
         return np.asarray(out, np.float32).reshape(-1, 3)
 
     def _drain_pipe(self):
+        while self._chunk_pipe:
+            self._chunk_resolve_one()
         while self._pipe:
             self._pipe_resolve_one()
 
@@ -758,19 +766,131 @@ class SlamSystem:
                 [keys, jnp.tile(keys[-1:], (pad, 1))], axis=0
             )
 
+        poses_out.extend(self._run_chunk_segments(
+            feats_stack, odo_stack, keys, kk, imgs, idx
+        ))
+        return np.asarray(poses_out, np.float32).reshape(-1, 3)
+
+    def process_chunk_async(self, imgs, odos) -> np.ndarray | None:
+        """Chunk-granularity pipelined feed: dispatch this chunk's
+        extraction + speculative scan now, return the PREVIOUS chunk's
+        (k, 3) poses (``None`` on the first call; ``flush_chunk_async``
+        drains the tail; bootstrap chunks resolve synchronously and
+        return their own poses).
+
+        Combines the two sync-amortization moves: ``process_chunk``'s
+        k-way dispatch batching and ``process_async``'s overlap of the
+        decision pull — chunk N's scan and async-copied decisions ride
+        behind chunk N-1's resolve, so the per-segment ~RTT pull stall
+        disappears. Results match ``process_chunk`` bitwise (same
+        compiled scans, same inputs, same key chain;
+        tests/test_chunked.py::test_chunk_async_*)."""
+        k = len(imgs)
+        assert len(odos) == k
+        while self._pipe:
+            self._pipe_resolve_one()    # modes can't interleave
+        if self.ts is None:
+            # bootstrap / resume: resolve anything pending, then run
+            # this chunk synchronously (per-frame until tracking exists)
+            out = []
+            while self._chunk_pipe:
+                out.append(self._chunk_resolve_one())
+            out.append(self.process_chunk(imgs, odos))
+            return np.concatenate(out, 0)
+        self._chunk_submit(imgs, odos)
+        if len(self._chunk_pipe) > 1:
+            return self._chunk_resolve_one()
+        return None
+
+    def flush_chunk_async(self) -> np.ndarray:
+        """Resolve every in-flight chunk; returns their stacked poses."""
+        out = []
+        while self._chunk_pipe:
+            out.append(self._chunk_resolve_one())
+        if not out:
+            return np.zeros((0, 3), np.float32)
+        return np.concatenate(out, 0)
+
+    def _chunk_submit(self, imgs, odos):
+        cfg = self.cfg
+        kk, pad, imgs_fed, odos_fed = pad_chunk(self, imgs, odos, 0)
+        feats_stack = self.extract_batch(imgs_fed)
+        odo_stack = jnp.asarray(np.asarray(odos_fed), jnp.float32)
+        self.key, keys = tracking.split_chain(self.key, kk)
+        if pad:
+            keys = jnp.concatenate(
+                [keys, jnp.tile(keys[-1:], (pad, 1))], axis=0
+            )
+        base = self._chunk_pipe[-1]["ts_f"] if self._chunk_pipe else self.ts
+        ts_f, needs, poses = tracking.track_chunk(
+            base, feats_stack, odo_stack, keys,
+            jnp.asarray(0, jnp.int32), jnp.asarray(kk, jnp.int32), cfg,
+        )
+        pulls = (needs, poses, self.ms.n_kf, self.ms.n_mp)
+        _host_prefetch(*pulls)
+        self._chunk_pipe.append(dict(
+            feats=feats_stack, odo=odo_stack, keys=keys, kk=kk,
+            imgs=list(imgs), ts_f=ts_f, pulls=pulls,
+        ))
+
+    def _chunk_resolve_one(self) -> np.ndarray:
+        e = self._chunk_pipe.popleft()
+        poses_out = self._run_chunk_segments(
+            e["feats"], e["odo"], e["keys"], e["kk"], e["imgs"], 0,
+            first_seg=(e["ts_f"],) + e["pulls"],
+        )
+        if self._chunk_pipe and self.ts is not e["ts_f"]:
+            # a keyframe / closure / capacity relief mutated tracking
+            # state: re-dispatch the in-flight chunk's scan from the
+            # corrected state (reusing its key rows — parity with the
+            # sync path's key-chain consumption)
+            self._chunk_replay()
+        return np.asarray(poses_out, np.float32).reshape(-1, 3)
+
+    def _chunk_replay(self):
+        cfg = self.cfg
+        entries = list(self._chunk_pipe)
+        self._chunk_pipe.clear()
+        base = self.ts
+        for e in entries:
+            ts_f, needs, poses = tracking.track_chunk(
+                base, e["feats"], e["odo"], e["keys"],
+                jnp.asarray(0, jnp.int32), jnp.asarray(e["kk"], jnp.int32),
+                cfg,
+            )
+            pulls = (needs, poses, self.ms.n_kf, self.ms.n_mp)
+            _host_prefetch(*pulls)
+            e.update(ts_f=ts_f, pulls=pulls)
+            self._chunk_pipe.append(e)
+            base = ts_f
+
+    def _run_chunk_segments(self, feats_stack, odo_stack, keys, kk,
+                            imgs, idx, first_seg=None):
+        """The per-segment chunk loop shared by the synchronous and
+        chunk-pipelined feeds. ``first_seg``, when given, is a
+        pre-dispatched speculative full scan for segment 0 —
+        ``(ts_f, needs, poses, n_kf, n_mp)`` device values captured at
+        submit time (valid because any state-mutating resolve replays
+        in-flight chunks before they get here)."""
+        cfg = self.cfg
+        poses_out: list[np.ndarray] = []
         i = 0
         while i < kk:
             t0 = time.perf_counter()
-            ts_f, needs, poses = tracking.track_chunk(
-                self.ts, feats_stack, odo_stack, keys,
-                jnp.asarray(i, jnp.int32), jnp.asarray(kk, jnp.int32),
-                cfg,
-            )
+            if i == 0 and first_seg is not None:
+                ts_f, needs, poses, n_kf_d, n_mp_d = first_seg
+            else:
+                ts_f, needs, poses = tracking.track_chunk(
+                    self.ts, feats_stack, odo_stack, keys,
+                    jnp.asarray(i, jnp.int32), jnp.asarray(kk, jnp.int32),
+                    cfg,
+                )
+                n_kf_d, n_mp_d = self.ms.n_kf, self.ms.n_mp
             # ONE host round-trip per segment: k decisions + poses (+ the
             # live KF count for the capacity check, already resident, +
             # a pending reference-KF mirror from the previous insertion)
             needs_h, poses_h, n_kf, n_mp = self._pull_with_mirror(
-                needs, poses, self.ms.n_kf, self.ms.n_mp
+                needs, poses, n_kf_d, n_mp_d
             )
             self.timings["track"] = time.perf_counter() - t0
             fire = next((j for j in range(i, kk) if needs_h[j]), None)
@@ -829,7 +949,7 @@ class SlamSystem:
                 self._advance_loop()
                 break
             i = fire + 1
-        return np.asarray(poses_out, np.float32).reshape(-1, 3)
+        return poses_out
 
     def _relieve_capacity(self) -> bool:
         """Forced prune + compaction when the KF bank is full.

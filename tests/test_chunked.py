@@ -159,3 +159,81 @@ def test_chunked_closes_loops_too():
     assert slam._loop_closer.n_loops_closed >= 1
     est = np.asarray([p for _, p in slam.trajectory])
     assert np.isfinite(est).all()
+
+
+def _feed_chunk_async(slam, frames, B=8):
+    out = []
+    for i in range(0, len(frames), B):
+        r = slam.process_chunk_async([f[0] for f in frames[i:i + B]],
+                                     [f[1] for f in frames[i:i + B]])
+        if r is not None:
+            out.append(np.asarray(r, np.float32))
+    out.append(slam.flush_chunk_async())
+    return np.concatenate(out, 0)
+
+
+def test_chunk_async_matches_chunked():
+    """The chunk-pipelined feed (process_chunk_async) must reproduce
+    process_chunk BITWISE: the resolved scans are the same compiled
+    programs on the same inputs with the same key chain — only the
+    dispatch/pull overlap differs."""
+    cfg = _cfg()
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
+    frames = [(np.asarray(img).astype(np.uint8), odo)
+              for img, odo in world.sequence(40, noise=(0.004, 0.002, 0.002))]
+
+    ref = SlamSystem(cfg, enable_loops=False)
+    for i in range(0, 40, 8):
+        ref.process_chunk([f[0] for f in frames[i:i + 8]],
+                          [f[1] for f in frames[i:i + 8]])
+
+    pip = SlamSystem(cfg, enable_loops=False)
+    poses = _feed_chunk_async(pip, frames)
+
+    assert pip.frame_id == ref.frame_id
+    assert pip.kf_frame_ids == ref.kf_frame_ids
+    ref_poses = np.asarray([p for _, p in ref.trajectory], np.float32)
+    np.testing.assert_array_equal(
+        np.asarray([p for _, p in pip.trajectory], np.float32), ref_poses
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pip.ms.kf_pose), np.asarray(ref.ms.kf_pose)
+    )
+    # every fed frame's pose comes back exactly once, in order
+    np.testing.assert_array_equal(poses, ref_poses)
+
+
+def test_chunk_async_closes_loops_and_matches():
+    """Chunk-pipelined mode across live loop closures (fused loop
+    stage): same closures, same trajectory as the sync chunked feed."""
+    cfg = _cfg().replace(
+        gm_dcl_min_kfid_offset=8,
+        gm_vcl_num_min_match_mp=6,
+        gm_vcl_num_min_match_kp=15,
+    )
+    world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
+    lap = world.circle_trajectory(48)
+    gt = np.concatenate([lap, lap[:20]])
+    odo = world.odometry(gt, noise=(0.004, 0.002, 0.002), seed=3)
+    frames = [(world.render(g), o) for g, o in zip(gt, odo)]
+
+    ref = SlamSystem(cfg, enable_loops=True)
+    for i in range(0, len(frames), 8):
+        ref.process_chunk([f[0] for f in frames[i:i + 8]],
+                          [f[1] for f in frames[i:i + 8]])
+
+    pip = SlamSystem(cfg, enable_loops=True)
+    _feed_chunk_async(pip, frames)
+
+    assert ref._loop_closer.n_loops_closed >= 1
+    assert (pip._loop_closer.n_loops_closed
+            == ref._loop_closer.n_loops_closed)
+    assert pip.kf_frame_ids == ref.kf_frame_ids
+    np.testing.assert_array_equal(
+        np.asarray([p for _, p in pip.trajectory], np.float32),
+        np.asarray([p for _, p in ref.trajectory], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pip.corrected_trajectory()),
+        np.asarray(ref.corrected_trajectory()),
+    )
