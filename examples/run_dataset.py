@@ -103,34 +103,33 @@ def main():
     t0 = time.perf_counter()
     n = 0
     if args.chunk > 1:
-        # one-chunk lookahead: processing chunk i with next_imgs=chunk
-        # i+1 lets the system overlap the next image upload with this
-        # chunk's compute (SlamSystem.prefetch_chunk)
-        ready_img = ready_odo = None
+        # chunk-pipelined feed (process_chunk_async, DESIGN §18): chunk
+        # i+1's upload + extraction + speculative scan overlap chunk i's
+        # decision resolve — this subsumes the old manual next_imgs
+        # lookahead AND hides the per-chunk decision pull (+~32%
+        # measured, E2E_BENCH.json), with bitwise-identical results
         pending_img, pending_odo = [], []
+        n_in = 0
         for img, odo in feed:
             pending_img.append(img)
             pending_odo.append(odo)
             if len(pending_img) == args.chunk:
-                if ready_img is not None:
-                    slam.process_chunk(ready_img, ready_odo,
-                                       next_imgs=pending_img)
-                    n += len(ready_img)
-                    if n % (args.chunk * 8) == 0:
-                        print(f"frame {n}: kfs={slam.n_keyframes()} "
-                              f"mps={slam.n_map_points()}")
-                ready_img, ready_odo = pending_img, pending_odo
+                r = slam.process_chunk_async(pending_img, pending_odo)
+                n_in += len(pending_img)
                 pending_img, pending_odo = [], []
-        if ready_img:
-            # keep the upload prefetch for the final chunk pair too
-            slam.process_chunk(
-                ready_img, ready_odo,
-                next_imgs=pending_img if pending_img else None,
-            )
-            n += len(ready_img)
+                if r is not None:
+                    n += len(r)
+                    if n % (args.chunk * 8) == 0:
+                        # host-side KF counter: n_keyframes() would
+                        # drain the pipeline just for a progress print
+                        print(f"frame {n}: kfs={len(slam.kf_frame_ids)}")
         if pending_img:
-            slam.process_chunk(pending_img, pending_odo)
-            n += len(pending_img)
+            r = slam.process_chunk_async(pending_img, pending_odo)
+            n_in += len(pending_img)
+            if r is not None:
+                n += len(r)
+        n += len(slam.flush_chunk_async())
+        assert n == n_in
     else:
         for img, odo in feed:
             slam.process(img, odo)
