@@ -212,7 +212,7 @@ def main():
     # Measured: they MATCH (352 vs 358 rfs) — at B=4 x k=8 the block is
     # device-bound, so the pull hides behind the next block's compute
     # either way; the one-shot number IS the steady-state serving rate.
-    from se2lam_tpu.system import _host_prefetch
+    from se2lam_tpu.utils.prefetch import host_prefetch as _host_prefetch
 
     R = 6
     block_imgs, block_odos = [], []

@@ -25,6 +25,7 @@ Replies are in frame order, one per frame, possibly delayed by up to
 from __future__ import annotations
 
 import logging
+from collections import deque
 import socket
 import struct
 import threading
@@ -228,11 +229,14 @@ class SlamServer:
         frame, replies drained from the estimator's trajectory as
         frames resolve — per-frame reply latency ~`pipeline` frames
         (+ the flush_ms quiet cap) instead of up to `chunk`."""
-        from collections import deque
-
         n_px = H * W
         sys_ = self.system
         sys_.pipeline_depth = max(0, int(self.pipeline))
+        # a previous client's abnormal exit (death mid-message, slow
+        # drain, estimator error) can leave its frames in flight: they
+        # must resolve BEFORE this client's trajectory baseline is
+        # snapshotted, or every reply pairing below shifts
+        sys_.flush_async()
         outstanding: deque[int] = deque()   # wire fids in feed order
         traj_base = len(sys_.trajectory)
         conn.settimeout(self.flush_s)
@@ -264,32 +268,39 @@ class SlamServer:
             sys_.flush_async()
             reply_resolved()
 
-        while not self._stop.is_set():
-            try:
-                first = conn.recv(1)
-            except socket.timeout:
-                # quiet feed: resolve in-flight frames (latency cap)
-                flush_all()
-                continue
-            if not first:
-                flush_all()
-                return
-            deadline = time.monotonic() + 10.0
-            hdr = first + _recv_exact(
-                conn, _FRAME_HDR.size - 1, self._stop, deadline=deadline
-            )
-            fid, x, y, th = _FRAME_HDR.unpack(hdr)
-            if fid == _END_ID:
-                flush_all()
-                return
-            img = np.frombuffer(
-                _recv_exact(conn, n_px, self._stop, deadline=deadline),
-                np.uint8,
-            ).reshape(H, W)
-            outstanding.append(fid)
-            sys_.process_async(img, np.asarray([x, y, th], np.float32))
-            reply_resolved()
-        flush_all()
+        try:
+            while not self._stop.is_set():
+                try:
+                    first = conn.recv(1)
+                except socket.timeout:
+                    # quiet feed: resolve in-flight frames (latency cap)
+                    flush_all()
+                    continue
+                if not first:
+                    flush_all()
+                    return
+                deadline = time.monotonic() + 10.0
+                hdr = first + _recv_exact(
+                    conn, _FRAME_HDR.size - 1, self._stop,
+                    deadline=deadline
+                )
+                fid, x, y, th = _FRAME_HDR.unpack(hdr)
+                if fid == _END_ID:
+                    flush_all()
+                    return
+                img = np.frombuffer(
+                    _recv_exact(conn, n_px, self._stop, deadline=deadline),
+                    np.uint8,
+                ).reshape(H, W)
+                outstanding.append(fid)
+                sys_.process_async(img, np.asarray([x, y, th], np.float32))
+                reply_resolved()
+            flush_all()
+        finally:
+            # abnormal exit (client died mid-message, send failed,
+            # estimator error): the estimator must not carry this
+            # client's unresolved frames into the next session
+            sys_.flush_async()
 
 
 class LiveClient:

@@ -21,6 +21,7 @@ bookkeeping.
 """
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 
 import jax
@@ -41,6 +42,7 @@ from .ops import se2, se3
 from .ops.camera import CameraModel, undistort_points
 from .solver.poseonly import solve_pose_only
 from .utils.chunking import pad_chunk
+from .utils.prefetch import host_prefetch
 from .vocab import Vocabulary
 
 __all__ = ["Localizer"]
@@ -287,8 +289,6 @@ class Localizer:
         # with speculative tracked-path dispatches (see SlamSystem's
         # pipelined feed, DESIGN §18; depth trades pose latency for
         # overlap of the per-frame control pull)
-        from collections import deque
-
         self._pipe = deque()
         self.pipeline_depth = 4
         self._in_resolve = False
@@ -330,10 +330,15 @@ class Localizer:
         its speculative dispatch's pose, so in-flight frames stay valid
         across accepts; only a lost transition (host-driven BoW reloc,
         src/Localizer.cpp:88-155) re-resolves the tail per-frame.
-        Results match ``process`` exactly (tests/test_localizer.py).
+        Results match ``process`` to f32 tightness — the fused
+        on-device step and the eager per-frame path are the same math
+        under different XLA fusions, so agreement is allclose
+        (atol 1e-3), not bitwise (tests/test_localizer.py).
         Returns the resolved frame's pose (None while the pipeline
         fills, or for a resolved frame that stayed lost); ``flush_async``
-        drains the tail."""
+        drains the tail. Lowering ``pipeline_depth`` mid-stream resolves
+        several frames in one call but returns only the newest resolved
+        pose — the rest are recorded in ``trajectory``."""
         feats = self._extract(jnp.asarray(img))
         if self._undistort:
             feats = feats._replace(xy=undistort_points(self._cam, feats.xy))
@@ -380,9 +385,7 @@ class Localizer:
             self.ms, base[0], base[1], feats, odo,
             jnp.asarray(self.min_tracked_matches, jnp.int32), self.cfg,
         )
-        from .system import _host_prefetch
-
-        _host_prefetch(pose_dev, ok_dev)
+        host_prefetch(pose_dev, ok_dev)
         self._pipe.append([feats, odo, pose_dev, ok_dev])
 
     def _pipe_resolve_one(self):
@@ -428,14 +431,12 @@ class Localizer:
         entries = list(self._pipe)
         self._pipe.clear()
         base_pose, base_odo = jnp.asarray(self.pose), self.last_odom
-        from .system import _host_prefetch
-
         for e in entries:
             pose_dev, ok_dev = _localize_step(
                 self.ms, base_pose, base_odo, e[0], e[1],
                 jnp.asarray(self.min_tracked_matches, jnp.int32), self.cfg,
             )
-            _host_prefetch(pose_dev, ok_dev)
+            host_prefetch(pose_dev, ok_dev)
             self._pipe.append([e[0], e[1], pose_dev, ok_dev])
             base_pose, base_odo = pose_dev, e[1]
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -27,23 +28,13 @@ from .mapstate import MapState, empty_map
 from .ops import se2
 from .ops.camera import CameraModel, undistort_points
 from .utils.chunking import pad_chunk
+from .utils.prefetch import host_prefetch
 
 __all__ = ["SlamSystem"]
 
-
-def _host_prefetch(*arrays):
-    """Start async device→host copies for values destined to ride a
-    future control pull. Purely a performance hint — a later
-    ``device_get`` is correct (just slower) without it. Measured over
-    the axon tunnel: a scalar fetched ~35 ms after its async copy costs
-    ~0.3 ms instead of the ~50 ms synchronous RTT (docs/DESIGN.md §18)."""
-    for a in arrays:
-        f = getattr(a, "copy_to_host_async", None)
-        if f is not None:
-            try:
-                f()
-            except Exception:
-                pass
+# alias kept for back-compat with earlier imports; the helper lives in
+# utils.prefetch (generic device plumbing, no SlamSystem dependency)
+_host_prefetch = host_prefetch
 
 
 def _np_se2_minus(pose, ref):
@@ -185,8 +176,6 @@ class SlamSystem:
         # pipelined per-frame feed (process_async): in-flight frames
         # whose tracking is dispatched speculatively and whose control
         # decisions resolve ``pipeline_depth`` frames later
-        from collections import deque
-
         self._pipe = deque()
         # depth 4 = best min-of-sessions fps in the 47-65 fps band all
         # depths 2-8 land in (E2E_BENCH.json), at 4-frame pose latency
@@ -488,7 +477,9 @@ class SlamSystem:
         """Pipelined per-frame feed: dispatch this frame's tracking now,
         return the pose of the frame resolved ``pipeline_depth`` calls
         ago (or ``None`` while the pipeline fills; ``flush_async``
-        drains the tail).
+        drains the tail). Lowering ``pipeline_depth`` mid-stream
+        resolves several frames in one call but returns only the newest
+        resolved pose — the rest are recorded in ``trajectory``.
 
         Per-frame mode pays one ~RTT control pull per frame — a hard
         ~1/RTT fps ceiling on a remote-attached chip. Here the pull's

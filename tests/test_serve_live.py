@@ -229,3 +229,63 @@ def test_live_server_pipelined_localization():
             # per-frame path — different XLA fusions, f32-tight not exact
             # (same bound as test_localizer_chunked_matches_per_frame)
             np.testing.assert_allclose(pose, want, atol=1e-3)
+
+
+def test_live_server_pipelined_survives_dead_client():
+    """A pipelined client that dies mid-message with frames in flight
+    must not poison the next client: its unresolved frames drain before
+    the next session's reply pairing is established (regression for a
+    cross-client trajectory-baseline leak)."""
+    import socket
+    import struct
+    import time as _time
+
+    from se2lam_tpu.io import liveserver as lv
+
+    cfg = _cfg()
+    frames = _sequence(cfg, 16, seed=29)
+
+    ref = SlamSystem(cfg, enable_loops=False)
+    for img, odo in frames:
+        ref.process(img, odo)
+
+    served = SlamSystem(cfg, enable_loops=False)
+    server = SlamServer(served, flush_ms=150.0, pipeline=4).start()
+    try:
+        # client A: hello + 8 full frames + half a frame header, then die
+        s = socket.create_connection(server.address, timeout=10.0)
+        s.sendall(lv._HELLO.pack(lv._MAGIC, 1, cfg.height, cfg.width))
+        assert s.recv(lv._HELLO_ACK.size)
+        for fid, (img, odo) in enumerate(frames[:8]):
+            s.sendall(lv._FRAME_HDR.pack(
+                fid, float(odo[0]), float(odo[1]), float(odo[2])))
+            s.sendall(np.ascontiguousarray(img, np.uint8).tobytes())
+        s.sendall(b"\x05\x00")          # truncated header...
+        s.shutdown(socket.SHUT_WR)       # ...then die (half-close: a
+        # hard close() would RST and destroy the still-buffered frames
+        # — then the scenario becomes timing-dependent instead of
+        # 'all frames received, client gone mid-header')
+        while s.recv(65536):             # drain replies until EOF so the
+            pass                         # final close cannot RST either
+        s.close()
+        # wait for the server to notice the dead client and drain
+        deadline = _time.monotonic() + 20.0
+        while ((served._pipe or served.frame_id < 8)
+               and _time.monotonic() < deadline):
+            _time.sleep(0.1)
+
+        # client B feeds the REMAINING frames; its replies must pair
+        # with its own fids and match the reference session's poses
+        client = LiveClient(server.address, cfg.height, cfg.width)
+        for fid, (img, odo) in enumerate(frames[8:]):
+            client.send_frame(img, odo)
+        replies = client.drain()
+        client.close()
+    finally:
+        server.stop()
+
+    assert [fid for fid, _, _ in replies] == list(range(8))
+    ref_poses = np.asarray([p for _, p in ref.trajectory], np.float32)
+    np.testing.assert_allclose(
+        np.stack([p for _, p, _ in replies]), ref_poses[8:], atol=1e-5
+    )
