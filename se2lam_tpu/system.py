@@ -716,9 +716,10 @@ class SlamSystem:
         Speculative chunked tracking: all k frames are scanned in one
         dispatch assuming no keyframe fires (tracking.track_chunk); the
         host fetches the k decisions together, and when one fired at
-        frame j it re-runs the same compiled scan with stop=j+1 to
-        recover the exact state at j, inserts the keyframe, and
-        continues the chunk from j+1 against the new reference — so the
+        frame j it recovers the exact state at j from the scan's own
+        per-step snapshots (tracking.state_at_step), inserts the
+        keyframe, and continues the chunk from j+1 against the new
+        reference — so the
         result matches calling ``process`` per frame to numerical
         identity (the programs fuse differently, so agreement is
         allclose-tight, not bitwise; tests/test_chunked.py asserts it).
@@ -813,7 +814,7 @@ class SlamSystem:
                 [keys, jnp.tile(keys[-1:], (pad, 1))], axis=0
             )
         base = self._chunk_pipe[-1]["ts_f"] if self._chunk_pipe else self.ts
-        ts_f, needs, poses = tracking.track_chunk(
+        ts_f, needs, poses, steps = tracking.track_chunk(
             base, feats_stack, odo_stack, keys,
             jnp.asarray(0, jnp.int32), jnp.asarray(kk, jnp.int32), cfg,
         )
@@ -821,14 +822,14 @@ class SlamSystem:
         _host_prefetch(*pulls)
         self._chunk_pipe.append(dict(
             feats=feats_stack, odo=odo_stack, keys=keys, kk=kk,
-            imgs=list(imgs), ts_f=ts_f, pulls=pulls,
+            imgs=list(imgs), ts_f=ts_f, steps=steps, pulls=pulls,
         ))
 
     def _chunk_resolve_one(self) -> np.ndarray:
         e = self._chunk_pipe.popleft()
         poses_out = self._run_chunk_segments(
             e["feats"], e["odo"], e["keys"], e["kk"], e["imgs"], 0,
-            first_seg=(e["ts_f"],) + e["pulls"],
+            first_seg=(e["ts_f"], e["steps"]) + e["pulls"],
         )
         if self._chunk_pipe and self.ts is not e["ts_f"]:
             # a keyframe / closure / capacity relief mutated tracking
@@ -844,14 +845,14 @@ class SlamSystem:
         self._chunk_pipe.clear()
         base = self.ts
         for e in entries:
-            ts_f, needs, poses = tracking.track_chunk(
+            ts_f, needs, poses, steps = tracking.track_chunk(
                 base, e["feats"], e["odo"], e["keys"],
                 jnp.asarray(0, jnp.int32), jnp.asarray(e["kk"], jnp.int32),
                 cfg,
             )
             pulls = (needs, poses, self.ms.n_kf, self.ms.n_mp)
             _host_prefetch(*pulls)
-            e.update(ts_f=ts_f, pulls=pulls)
+            e.update(ts_f=ts_f, steps=steps, pulls=pulls)
             self._chunk_pipe.append(e)
             base = ts_f
 
@@ -860,18 +861,18 @@ class SlamSystem:
         """The per-segment chunk loop shared by the synchronous and
         chunk-pipelined feeds. ``first_seg``, when given, is a
         pre-dispatched speculative full scan for segment 0 —
-        ``(ts_f, needs, poses, n_kf, n_mp)`` device values captured at
-        submit time (valid because any state-mutating resolve replays
-        in-flight chunks before they get here)."""
+        ``(ts_f, steps, needs, poses, n_kf, n_mp)`` device values
+        captured at submit time (valid because any state-mutating
+        resolve replays in-flight chunks before they get here)."""
         cfg = self.cfg
         poses_out: list[np.ndarray] = []
         i = 0
         while i < kk:
             t0 = time.perf_counter()
             if i == 0 and first_seg is not None:
-                ts_f, needs, poses, n_kf_d, n_mp_d = first_seg
+                ts_f, steps, needs, poses, n_kf_d, n_mp_d = first_seg
             else:
-                ts_f, needs, poses = tracking.track_chunk(
+                ts_f, needs, poses, steps = tracking.track_chunk(
                     self.ts, feats_stack, odo_stack, keys,
                     jnp.asarray(i, jnp.int32), jnp.asarray(kk, jnp.int32),
                     cfg,
@@ -896,20 +897,19 @@ class SlamSystem:
                      self._anchor_rel(pose))
                 )
                 if j == fire:
+                    feats_j = jax.tree.map(lambda a: a[fire], feats_stack)
                     if fire == kk - 1:
                         # the fired frame is the segment's last active
-                        # step: the speculative pass already IS the
-                        # replay (stop=kk ≡ stop=fire+1) — skip the
-                        # redundant scan
+                        # step: the speculative pass's final state IS
+                        # the state at the fire
                         ts_j = ts_f
                     else:
-                        # recover the exact tracking state at the fired
-                        # frame
-                        ts_j, _, _ = tracking.track_chunk(
-                            self.ts, feats_stack, odo_stack, keys,
-                            jnp.asarray(i, jnp.int32),
-                            jnp.asarray(fire + 1, jnp.int32),
-                            cfg,
+                        # exact state at the fired frame, rebuilt from
+                        # the scan's own per-step snapshots — the old
+                        # stop=fire+1 recovery re-scan cost one full
+                        # scan's device time per keyframe
+                        ts_j = tracking.state_at_step(
+                            self.ts, feats_j, steps, fire
                         )
                     self.ts = ts_j
                     # advance the deferred loop stage with the values
@@ -927,9 +927,6 @@ class SlamSystem:
                     if not self.at_capacity:
                         if self._viz_dir is not None:
                             self._last_img = np.asarray(imgs[idx + fire])
-                        feats_j = jax.tree.map(
-                            lambda a: a[fire], feats_stack
-                        )
                         self._insert_keyframe(feats_j, odo_stack[fire])
                 self.trajectory.append((self.frame_id, pose))
                 self.frame_id += 1

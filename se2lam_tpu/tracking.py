@@ -28,7 +28,7 @@ from .ops.triangulate import check_parallax, triangulate
 
 __all__ = [
     "TrackState", "init_track_state", "track_frame", "TrackResult",
-    "track_chunk", "split_chain",
+    "track_chunk", "split_chain", "ChunkSteps", "state_at_step",
 ]
 
 
@@ -246,6 +246,63 @@ def split_chain(key, n: int):
     return jax.lax.scan(body, key, None, length=n)
 
 
+class ChunkSteps(NamedTuple):
+    """Per-step snapshots of TrackState's mutable fields, stacked along
+    the chunk axis by ``track_chunk`` (~30 KB/step at N=1000 — small
+    enough to emit always). ``state_at_step`` rebuilds the exact
+    TrackState after any step from these, which replaces the stop=j+1
+    recovery re-scan the chunked feed used to pay on every keyframe
+    fire (one full scan's device time per KF)."""
+
+    prev_matched: jnp.ndarray
+    local_mps: jnp.ndarray
+    local_mp_valid: jnp.ndarray
+    good_prl: jnp.ndarray
+    n_good_prl: jnp.ndarray
+    pre_meas: jnp.ndarray
+    pre_cov: jnp.ndarray
+    last_odom: jnp.ndarray
+    frames_since_kf: jnp.ndarray
+    cur_pose: jnp.ndarray
+    cur_odom: jnp.ndarray
+    match_idx: jnp.ndarray
+
+
+def _step_fields(ts: TrackState) -> ChunkSteps:
+    return ChunkSteps(
+        ts.prev_matched, ts.local_mps, ts.local_mp_valid, ts.good_prl,
+        ts.n_good_prl, ts.pre_meas, ts.pre_cov, ts.last_odom,
+        ts.frames_since_kf, ts.cur_pose, ts.cur_odom, ts.match_idx,
+    )
+
+
+def state_at_step(ts0: TrackState, cur_feats: OrbFeatures,
+                  steps: ChunkSteps, j: int) -> TrackState:
+    """The exact TrackState after chunk step ``j``, reconstructed from
+    the speculative scan's stacked outputs. ``ts0`` supplies the fields
+    that are constant within a segment (the ref-KF block — they only
+    change at keyframe insertion, which ends the segment);
+    ``cur_feats`` is the step's own features (``feats_stack[j]``).
+    Values are the scan's own step-j outputs, so this matches the old
+    recovery re-scan bitwise without its device cost."""
+    sj = jax.tree.map(lambda a: a[j], steps)
+    return ts0._replace(
+        prev_matched=sj.prev_matched,
+        local_mps=sj.local_mps,
+        local_mp_valid=sj.local_mp_valid,
+        good_prl=sj.good_prl,
+        n_good_prl=sj.n_good_prl,
+        pre_meas=sj.pre_meas,
+        pre_cov=sj.pre_cov,
+        last_odom=sj.last_odom,
+        frames_since_kf=sj.frames_since_kf,
+        cur_feats=cur_feats,
+        cur_pose=sj.cur_pose,
+        cur_odom=sj.cur_odom,
+        match_idx=sj.match_idx,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def track_chunk(
     ts: TrackState,
@@ -261,19 +318,20 @@ def track_chunk(
     Scans ``track_frame`` over the stacked frames; steps outside
     [start, stop) pass the carried state through unchanged (start/stop
     are traced values, so every window shape shares one compilation).
-    Returns (final TrackState, (k,) need_kf flags, (k, 3) poses) —
-    inactive steps report need_kf=False.
+    Returns (final TrackState, (k,) need_kf flags, (k, 3) poses,
+    ChunkSteps per-step snapshots) — inactive steps report
+    need_kf=False.
 
     This is the sync-elimination half of the serving design: the
     per-frame loop pays one host round-trip per frame for the KF
     decision (which a remote-attached chip turns into the wall-clock
     bottleneck); here the host fetches k decisions at once and, when a
-    keyframe fires mid-chunk at j, re-runs the same compiled scan with
-    stop=j+1 to recover the exact state at j — trading redundant device
-    FLOPs (cheap) for round-trips (expensive). Semantics match the
-    sequential reference loop (src/Track.cpp:56-160) exactly: frames
-    after a fired decision are REPLAYED against the new keyframe by the
-    caller, never consumed from the speculative pass."""
+    keyframe fires mid-chunk at j, recovers the exact state at j from
+    the returned ``ChunkSteps`` (``state_at_step``) — no recovery
+    re-scan. Semantics match the sequential reference loop
+    (src/Track.cpp:56-160) exactly: frames after a fired decision are
+    REPLAYED against the new keyframe by the caller, never consumed
+    from the speculative pass."""
     k = odo_stack.shape[0]
 
     def body(carry, xs):
@@ -296,9 +354,9 @@ def track_chunk(
             )
 
         ts_out, (need, pose) = jax.lax.cond(active, live, skip, carry)
-        return ts_out, (need, pose)
+        return ts_out, (need, pose, _step_fields(ts_out))
 
-    ts_f, (needs, poses) = jax.lax.scan(
+    ts_f, (needs, poses, steps) = jax.lax.scan(
         body, ts, (jnp.arange(k), feats_stack, odo_stack, keys)
     )
-    return ts_f, needs, poses
+    return ts_f, needs, poses, steps
