@@ -95,3 +95,45 @@ def test_distributed_system_matches_single_device():
     assert ate_1 < ate_odo, (ate_1, ate_odo)
     assert ate_8 < ate_odo, (ate_8, ate_odo)
     assert abs(ate_8 - ate_1) < 0.02, (ate_1, ate_8)
+
+
+def test_distributed_pipelined_feed_matches_per_frame():
+    """The pipelined feed (process_async) over the MESH path: the
+    staged loop machine's gate scalars ride the pipelined control pulls
+    (prefetched at stage dispatch) and a closure's gauge re-base
+    triggers an in-flight replay — the resolved sequence must equal the
+    synchronous per-frame mesh session's."""
+    import jax
+
+    from se2lam_tpu.io import SyntheticWorld
+    from se2lam_tpu.parallel import make_mesh
+    from se2lam_tpu.system import SlamSystem
+
+    assert len(jax.devices()) >= 8
+    cfg = _world_cfg()
+    world = SyntheticWorld(cfg, n_landmarks=600, room=10.0, seed=4)
+    lap = world.circle_trajectory(90)
+    gt = np.concatenate([lap, lap])[:110]
+    odo = world.odometry(gt, noise=(0.012, 0.006, 0.006), seed=3)
+    frames = [world.render(g) for g in gt]
+    mesh = make_mesh(8)
+
+    ref = SlamSystem(cfg, enable_loops=True, mesh=mesh)
+    for img, o in zip(frames, odo):
+        ref.process(img, o)
+
+    pip = SlamSystem(cfg, enable_loops=True, mesh=mesh)
+    pip.pipeline_depth = 3
+    for img, o in zip(frames, odo):
+        pip.process_async(img, o)
+    pip.flush_async()
+
+    assert ref._loop_closer.n_loops_closed >= 1
+    assert (pip._loop_closer.n_loops_closed
+            == ref._loop_closer.n_loops_closed)
+    assert pip.kf_frame_ids == ref.kf_frame_ids
+    np.testing.assert_allclose(
+        np.asarray([p for _, p in pip.trajectory], np.float32),
+        np.asarray([p for _, p in ref.trajectory], np.float32),
+        atol=1e-5,
+    )
