@@ -19,7 +19,8 @@ its Sparsifier, src/sparsifier.cpp:105-177) and the reduced camera system
 is solved with a dense Cholesky — a shape XLA tiles straight onto the MXU.
 Invalid (padded) entries contribute exactly zero to every Hessian block.
 
-The LM loop is a bounded ``lax.fori_loop`` (the functional analog of the
+The LM loop is a bounded ``lax.while_loop`` with a stalled-gain early
+exit (the functional analog of the
 reference's abortable iteration budget, src/LocalMapper.cpp:232-302).
 """
 from __future__ import annotations
@@ -149,6 +150,15 @@ class BAConfig(NamedTuple):
     # observation tables), letting the assembly reshape-sum the point
     # blocks instead of materializing an (O, M) one-hot
     obs_grid_p: int = 0
+    # OPTIONAL convergence early-exit: stop the LM loop once an
+    # ACCEPTED step improves the robust chi2 by less than term_rel
+    # (relative) — the analog of installing a g2o terminate action.
+    # Default 0 = run the full iteration budget, which is what the
+    # reference actually does (it installs no terminate action;
+    # optimize(LOCAL_ITER) runs LOCAL_ITER rounds, src/LocalMapper.cpp:
+    # 260) — and measured production windows use their whole budget at
+    # tol 1e-6 anyway. A latency-capped embedder can set e.g. 1e-4.
+    term_rel: float = 0.0
     # Hessian accumulation lowering when obs_grid_p == 0:
     #   "auto"    — one-hot on TPU, scatter elsewhere (the measured-best
     #               lowering per backend; see _assemble)
@@ -493,8 +503,8 @@ def solve_local_ba(
     """
     from ..ops import se2
 
-    def step(_, state):
-        prob_k, lam, last_chi2 = state
+    def body(state):
+        i, prob_k, lam, last_chi2, _ = state
         dp, dx, _ = _solve_inner(prob_k, cam, Tcb, cfg, lam)
         new_poses = prob_k.poses + dp
         new_poses = new_poses.at[..., 2].set(
@@ -512,14 +522,28 @@ def solve_local_ba(
             lambda a, b: jnp.where(accept, a, b), cand, prob_k
         )
         lam = jnp.where(accept, lam * cfg.lm_down, lam * cfg.lm_up)
-        return out, lam, jnp.where(accept, new_chi2, last_chi2)
+        # converged: an ACCEPTED step improved chi2 by < term_rel
+        # relative (only when the opt-in early exit is enabled).
+        # Rejected steps never converge (they raise lambda and retry).
+        done = accept & (
+            last_chi2 - new_chi2 <= cfg.term_rel * last_chi2
+        ) if cfg.term_rel > 0 else jnp.asarray(False)
+        return (i + 1, out, lam,
+                jnp.where(accept, new_chi2, last_chi2), done)
+
+    def cond(state):
+        i, _, _, _, done = state
+        return (i < cfg.iters) & ~done
 
     lam0 = jnp.asarray(cfg.lm_init_lambda, prob.poses.dtype)
     chi0 = ba_chi2(prob, cam, Tcb, cfg.huber_delta)
-    final, lam, chi = jax.lax.fori_loop(
-        0, cfg.iters, step, (prob, lam0, chi0)
+    n_it, final, lam, chi, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), prob, lam0, chi0, jnp.asarray(False)),
     )
-    return final.poses, final.points, {"chi2": chi, "chi2_init": chi0, "lambda": lam}
+    return final.poses, final.points, {
+        "chi2": chi, "chi2_init": chi0, "lambda": lam, "iters": n_it,
+    }
 
 
 # NOTE: the removeOutlierChi2 gate (src/LocalMapper.cpp:172-230) lives in

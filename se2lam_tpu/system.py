@@ -1153,13 +1153,14 @@ class SlamSystem:
             rec = jax.device_get(
                 (k, ba_info["chi2_init"], ba_info["chi2"],
                  ba_info["lambda"], self.ms.n_kf,
-                 jnp.sum(self.ms.mp_valid))
+                 jnp.sum(self.ms.mp_valid),
+                 ba_info.get("iters", jnp.asarray(-1, jnp.int32)))
             )
             self.ba_log.append({
                 "frame": self.frame_id, "kf": int(rec[0]),
                 "chi2_init": float(rec[1]), "chi2": float(rec[2]),
                 "lambda": float(rec[3]), "n_kf": int(rec[4]),
-                "n_mp": int(rec[5]),
+                "n_mp": int(rec[5]), "iters": int(rec[6]),
             })
 
         lc = self._loop_closer

@@ -282,3 +282,37 @@ class TestLocalBA:
         np.testing.assert_allclose(
             good, np.asarray(prob_gt.points)[1:], atol=2e-2
         )
+
+
+class TestTermRel:
+    def test_early_exit_is_opt_in_and_preserves_quality(self, rng):
+        """term_rel=0 (the default — reference parity: se2lam installs
+        no g2o terminate action, optimize(LOCAL_ITER) runs the full
+        budget, src/LocalMapper.cpp:260) uses every iteration; an
+        opt-in tolerance stops once an accepted step's relative gain
+        stalls, with the solution still at the optimum."""
+        import jax.numpy as jnp
+
+        # pixel noise floors the chi2, so the relative gain genuinely
+        # stalls (a noiseless problem decays geometrically forever and
+        # never trips a relative-gain test)
+        prob_gt, cam, Tcb = make_problem(rng, noise_px=0.5)
+        K = prob_gt.poses.shape[0]
+        dp = rng.normal(0, 0.05, (K, 3)).astype(np.float32)
+        dp[0] = 0
+        prob = prob_gt._replace(poses=prob_gt.poses + jnp.asarray(dp))
+
+        _, _, info0 = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=20, term_rel=0.0)
+        )
+        assert int(info0["iters"]) == 20     # full budget, no early exit
+
+        poses, _, info1 = solve_local_ba(
+            prob, cam, Tcb, BAConfig(iters=20, term_rel=1e-4)
+        )
+        assert int(info1["iters"]) < 20      # stalled-gain exit fired
+        # quality within noise of the full-budget run
+        assert float(info1["chi2"]) <= 1.01 * float(info0["chi2"]) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(poses), np.asarray(prob_gt.poses), atol=2e-2
+        )
