@@ -144,6 +144,10 @@ def main():
                     default=(0.012, 0.006, 0.006),
                     metavar=("X", "Y", "TH"))
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--odo-seeds", type=int, nargs="*", default=None,
+                    help="run every estimator under each of these "
+                         "odometry-noise draws (default: the single "
+                         "draw seed 3, the r4 protocol)")
     ap.add_argument("--out", default="artifacts/drift_study")
     args = ap.parse_args()
 
@@ -155,36 +159,66 @@ def main():
     n = int(args.laps * args.frames_per_lap)
     reps = int(np.ceil(n / args.frames_per_lap))
     gt = np.concatenate([lap] * reps)[:n]
-    odo = world.odometry(gt, noise=tuple(args.noise), seed=3)
+    odo_seeds = args.odo_seeds if args.odo_seeds else [3]
 
     results = {"config": {
         "laps": args.laps, "frames": n, "noise": list(args.noise),
-        "seed": args.seed, "joint_iters": cfg.gm_joint_ba_iters,
+        "seed": args.seed, "odo_seeds": odo_seeds,
+        "joint_iters": cfg.gm_joint_ba_iters,
     }}
     trajs = {"gt": gt[:, :2]}
 
-    ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
-    results["odo"] = {"ate_live": round(float(ate_odo), 4),
-                      "lap_drift": lap_drift(odo, gt,
-                                             args.frames_per_lap)}
-    trajs["odo"] = odo[:, :2]
-    print(f"odo            ATE {ate_odo:.4f}")
+    per_seed = {}
+    for oseed in odo_seeds:
+        odo = world.odometry(gt, noise=tuple(args.noise), seed=oseed)
+        sres = {}
+        ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
+        sres["odo"] = {"ate_live": round(float(ate_odo), 4),
+                       "lap_drift": lap_drift(odo, gt,
+                                              args.frames_per_lap)}
+        if oseed == odo_seeds[0]:
+            trajs["odo"] = odo[:, :2]
+        print(f"[odo seed {oseed}] odo            ATE {ate_odo:.4f}",
+              flush=True)
 
-    for name, (loops, joint) in {
-        "slam_noloop": (False, 0),
-        "slam_pg": (True, 0),
-        "slam_joint": (True, cfg.gm_joint_ba_iters),
-    }.items():
-        r, corr = run_slam(
-            build_cfg(joint_iters=joint), world, gt, odo, loops,
-            args.frames_per_lap,
-        )
-        results[name] = r
-        trajs[name] = corr[:, :2]
-        print(f"{name:<14} ATE live {r['ate_live']:.4f} "
-              f"corrected {r['ate_corrected']:.4f} "
-              f"loops {r['n_loops']} kfs {r['n_kfs']} "
-              f"lap drift {r['lap_drift']}")
+        for name, (loops, joint) in {
+            "slam_noloop": (False, 0),
+            "slam_pg": (True, 0),
+            "slam_joint": (True, cfg.gm_joint_ba_iters),
+        }.items():
+            r, corr = run_slam(
+                build_cfg(joint_iters=joint), world, gt, odo, loops,
+                args.frames_per_lap,
+            )
+            sres[name] = r
+            if oseed == odo_seeds[0]:
+                trajs[name] = corr[:, :2]
+            print(f"[odo seed {oseed}] {name:<14} "
+                  f"ATE live {r['ate_live']:.4f} "
+                  f"corrected {r['ate_corrected']:.4f} "
+                  f"loops {r['n_loops']} kfs {r['n_kfs']} "
+                  f"lap drift {r['lap_drift']}", flush=True)
+        per_seed[str(oseed)] = sres
+
+    if len(odo_seeds) == 1:
+        results.update(per_seed[str(odo_seeds[0])])
+    else:
+        results["per_seed"] = per_seed
+        # seed-wise summary: does SLAM beat raw odometry on every draw?
+        for est in ("slam_noloop", "slam_pg", "slam_joint"):
+            wins_live = sum(
+                per_seed[s][est]["ate_live"] <= per_seed[s]["odo"]["ate_live"]
+                for s in per_seed)
+            wins_corr = sum(
+                per_seed[s][est]["ate_corrected"]
+                <= per_seed[s]["odo"]["ate_live"] for s in per_seed)
+            results[f"{est}_beats_odo"] = {
+                "live": f"{wins_live}/{len(per_seed)}",
+                "corrected": f"{wins_corr}/{len(per_seed)}",
+            }
+            print(f"{est}: beats odometry live {wins_live}/{len(per_seed)}"
+                  f" corrected {wins_corr}/{len(per_seed)}", flush=True)
+        results.update(per_seed[str(odo_seeds[0])])
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:

@@ -509,35 +509,29 @@ class Localizer:
             self._drain_pipe()   # a mixed-mode caller: keep frame order
         cfg = self.cfg
         odo = jnp.asarray(odo, jnp.float32)
-        Tcb = jnp.asarray(cfg.Tcb_mat, jnp.float32)
-        cam = self._cam
 
         if not self.lost and self.pose is not None:
-            # odometry prediction (UpdatePoseCurr, src/Localizer.cpp:614)
-            pred = se2.compose(
-                jnp.asarray(self.pose), se2.minus(odo, self.last_odom)
+            # the WHOLE tracked path — odometry prediction
+            # (UpdatePoseCurr, src/Localizer.cpp:614), projection match,
+            # pose-only BA, and the DetectIfLost gates
+            # (src/Localizer.cpp:304-313) — as ONE device program with
+            # ONE control pull. The previous eager spelling paid 3
+            # sequential sync round-trips per frame (match count, then
+            # inlier/covis gates, then the pose), which capped per-frame
+            # serving at 4-6 fps through a remote-attached chip
+            # (round-4 LOC_BENCH); this is the same fused step the
+            # pipelined and chunked feeds already ran.
+            pose_dev, ok_dev = _localize_step(
+                self.ms, jnp.asarray(self.pose), self.last_odom, feats,
+                odo, jnp.asarray(self.min_tracked_matches, jnp.int32),
+                cfg,
             )
-            feat_match, n = _project_and_match(self.ms, feats, pred, cfg)
-            if int(n) >= self.min_tracked_matches:
-                m = jnp.clip(feat_match, 0)
-                pose, chi, n_in = solve_pose_only(
-                    pred,
-                    self.ms.mp_pos[m],
-                    feats.xy,
-                    feat_match >= 0,
-                    cam,
-                    Tcb,
-                    iters=30,
-                )
-                # lost detection (Localizer::DetectIfLost,
-                # src/Localizer.cpp:304-313): tracked iff the local
-                # covisible-KF set is nonempty — i.e. some valid keyframe
-                # observes a matched map point — on top of the inlier gate
-                n_covis = _covis_kf_count(self.ms, feat_match)
-                n_in, n_covis = map(int, jax.device_get((n_in, n_covis)))
-                if n_in >= self.min_tracked_matches and n_covis > 0:
-                    self._accept(pose, odo, tracked=True)
-                    return np.asarray(pose)
+            host_prefetch(pose_dev, ok_dev)
+            pose_h, ok_h = jax.device_get((pose_dev, ok_dev))
+            if bool(ok_h):
+                self._accept(np.asarray(pose_h, np.float32), odo,
+                             tracked=True)
+                return self.pose.copy()
             self.lost = True
 
         # lost → BoW relocalization (src/Localizer.cpp:88-155)

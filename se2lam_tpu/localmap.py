@@ -34,6 +34,7 @@ from .frontend.orb import OrbFeatures
 from .mapstate import MapState, kf_Tcw
 from .ops import linalg, se2, se3
 from .ops.camera import CameraModel
+from .ops.triangulate import check_parallax, triangulate
 from .solver.ba import BAConfig, BAProblem, solve_local_ba
 
 __all__ = [
@@ -228,21 +229,10 @@ def add_keyframe(
     # leave a forward pointer in the new KF's row
     ms, inh_ok = _append_obs(ms, m_ref, k, j, inherit)
 
-    # parallax promotion: new baseline may give a no-parallax MP good
-    # geometry (MapPoint::updateParallax, src/MapPoint.cpp:124-185)
-    mp_w = ms.mp_pos[jnp.clip(m_ref, 0)]
-    v_new = mp_w - cam_center_new
-    v_ref = mp_w - cam_center_ref
-    cosang = jnp.sum(v_new * v_ref, -1) / jnp.maximum(
-        jnp.linalg.norm(v_new, axis=-1) * jnp.linalg.norm(v_ref, axis=-1),
-        1e-12,
-    )
-    promoted = inherit & (cosang < jnp.cos(jnp.deg2rad(1.0)))
-    ms = ms._replace(
-        mp_good_prl=ms.mp_good_prl.at[jnp.where(promoted, m_ref, M)].set(
-            True, mode="drop"
-        )
-    )
+    # (parallax promotion of inherited no-parallax points happens in the
+    #  updateParallax block below, AFTER all of this KF's observations
+    #  are known — with a position re-triangulation, not a bare flag
+    #  flip, matching MapPoint::updateParallax)
 
     # ---- (b) mint new MPs from triangulations (src/LocalMapper.cpp:148-166) --
     mint = (match_idx >= 0) & (m_ref < 0) & local_mp_valid & feats.valid[j]
@@ -347,10 +337,106 @@ def add_keyframe(
         level_offset=2,         # findCorrespd passes 2 (src/LocalMapper.cpp:118)
     )
     proj_ok = proj_match >= 0
+    # fresh-triangulation acceptance gate (findCorrespd stage b,
+    # src/LocalMapper.cpp:119-141): triangulate (main-KF measure,
+    # new-KF keypoint) with the CURRENT pose estimates and accept only
+    # if the result passes depth gates in both frames and lands inside
+    # the point's octave distance band (MapPoint::acceptNewObserve,
+    # src/MapPoint.cpp:202-209). Gating on the fresh geometry — not the
+    # stored (possibly drifted) position — is what keeps a revisit from
+    # stitching wrong constraints into the local BA.
+    Kmat = jnp.asarray(
+        [[cfg.fx, 0.0, cfg.cx], [0.0, cfg.fy, cfg.cy], [0.0, 0.0, 1.0]],
+        dtype,
+    )
+    mm = jnp.clip(proj_match, 0)
+    main_kf_b = jnp.clip(ms.mp_main_kf[mm], 0)
+    main_ft_b = jnp.clip(ms.mp_main_feat[mm], 0)
+    pt_main = ms.kf_xy[main_kf_b, main_ft_b]
+    Tcw_main = jax.vmap(lambda p: kf_Tcw(p, Tcb))(ms.kf_pose[main_kf_b])
+    x3d = triangulate(
+        pt_main, feats.xy, Kmat @ Tcw_main[:, :3, :],
+        (Kmat @ Tcw_new[:3, :])[None],
+    )
+    pos_new_c = se3.apply(Tcw_new, x3d)
+    pos_main_c = se3.apply(Tcw_main, x3d)
+    dist_new = jnp.linalg.norm(pos_new_c, axis=-1)
+    tri_ok = (
+        cfg.accept_depth(pos_new_c[..., 2])
+        & cfg.accept_depth(pos_main_c[..., 2])
+        & (dist_new >= ms.mp_min_dist[mm])
+        & (dist_new <= ms.mp_max_dist[mm])
+    )
+    proj_ok = proj_ok & tri_ok
     ms, proj_ok = _append_obs(
         ms, proj_match, k, jnp.arange(N, dtype=jnp.int32), proj_ok
     )
     obs_row = jnp.where(proj_ok, proj_match, obs_row)
+
+    # ---- updateParallax: re-triangulate not-yet-good-parallax points
+    #      from their oldest recent observer using the CURRENT pose
+    #      estimates; on ≥2° parallax REPLACE the position, promote, and
+    #      back-fill every observer's view estimate
+    #      (MapPoint::updateParallax, src/MapPoint.cpp:124-185 — runs on
+    #      each addObservation once a point has >2 observations).
+    #      A bare flag flip without the re-triangulation — what this
+    #      block replaces — promotes tiny-baseline odometry-frame
+    #      positions (meter-scale errors) straight into the BA, which
+    #      then drags the pose chain (artifacts/drift_study_r5). ----
+    m_act = jnp.clip(obs_row, 0)
+    act = (
+        (obs_row >= 0)
+        & ms.mp_valid[m_act]
+        & ~ms.mp_good_prl[m_act]
+        & (ms.mp_n_obs[m_act] > 2)
+    )
+    obs_k_act = ms.mp_obs_kf[m_act]        # (N, P) observers per feature
+    obs_f_act = ms.mp_obs_feat[m_act]
+    recent = (obs_k_act >= 0) & (k - obs_k_act <= 6) & (obs_k_act != k)
+    kf0 = jnp.min(jnp.where(recent, obs_k_act, K), axis=1)
+    has0 = kf0 < K
+    sel0 = recent & (obs_k_act == kf0[:, None])
+    f0 = jnp.max(jnp.where(sel0, obs_f_act, -1), axis=1)
+    kf0c = jnp.clip(kf0, 0, K - 1)
+    pt0 = ms.kf_xy[kf0c, jnp.clip(f0, 0)]
+    Tcw0 = jax.vmap(lambda p: kf_Tcw(p, Tcb))(ms.kf_pose[kf0c])
+    posW = triangulate(
+        pt0, feats.xy, Kmat @ Tcw0[:, :3, :],
+        (Kmat @ Tcw_new[:3, :])[None],
+    )
+    pos0_c = se3.apply(Tcw0, posW)
+    pos1_c = se3.apply(Tcw_new, posW)
+    center0 = se3.inv(Tcw0)[:, :3, 3]
+    prom = (
+        act
+        & has0
+        & cfg.accept_depth(pos0_c[..., 2])
+        & cfg.accept_depth(pos1_c[..., 2])
+        & check_parallax(center0, cam_center_new, posW, 2)
+    )
+    rows_p = jnp.where(prom, m_act, M)
+    ms = ms._replace(
+        mp_pos=ms.mp_pos.at[rows_p].set(posW, mode="drop"),
+        mp_good_prl=ms.mp_good_prl.at[rows_p].set(True, mode="drop"),
+    )
+    # observer view back-fill: the (pos0, Tcw0, Tcw_new) anisotropic
+    # info rotated world-wise, then into each observer's camera frame
+    # (src/MapPoint.cpp:158-177)
+    info0, _info1 = factors.se3_to_xyz_info(pos0_c, Tcw0, Tcw_new, cfg.fx)
+    R0 = Tcw0[:, :3, :3]
+    infoW = jnp.einsum("nji,njm,nml->nil", R0, info0, R0)
+    Tcw_all = jax.vmap(lambda p: kf_Tcw(p, Tcb))(ms.kf_pose)
+    sel_obs = prom[:, None] & (obs_k_act >= 0)
+    T_obs = Tcw_all[jnp.clip(obs_k_act, 0)]               # (N, P, 4, 4)
+    view_obs = se3.apply(T_obs, posW[:, None, :])
+    Rk_obs = T_obs[..., :3, :3]
+    info_obs = jnp.einsum("npij,njm,nplm->npil", Rk_obs, infoW, Rk_obs)
+    rk = jnp.where(sel_obs, obs_k_act, K)
+    rf = jnp.clip(obs_f_act, 0)
+    ms = ms._replace(
+        kf_view_mp=ms.kf_view_mp.at[rk, rf].set(view_obs, mode="drop"),
+        kf_view_info=ms.kf_view_info.at[rk, rf].set(info_obs, mode="drop"),
+    )
 
     # ---- finalize the new KF's observation row + view estimates ----
     has_obs = obs_row >= 0
@@ -1060,8 +1146,17 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
         jnp.where(kf_sel, win_kf, K)
     ].set(jnp.arange(W, dtype=jnp.int32), mode="drop")[:K]
 
-    # good-parallax MPs only participate in BA (SURVEY §2 row 8)
-    ba_mps = local_mps & ms.mp_good_prl
+    # ALL local MPs participate — the reference's local graph collects
+    # observations WITHOUT the parallax filter (getAllObsMPs(checkPrl=
+    # false), src/Map.cpp:313-316 + src/KeyFrame.cpp:146-158): a
+    # 2-observation low-parallax point is a free variable whose initial
+    # depth error cannot poison the solve, while its reprojection pair
+    # still carries epipolar bearing information between its observers.
+    # Restricting to good-parallax points (what this line did through
+    # round 4) starved the window down to ~15-20 anchors whose ~0.5-1 m
+    # position errors set the pose-anchor noise floor
+    # (artifacts/drift_study_r5).
+    ba_mps = local_mps
     mp_score = jnp.where(
         ba_mps, ms.mp_n_obs.astype(dtype), -jnp.inf
     )

@@ -913,6 +913,25 @@ class LoopCloser:
         # leaves for city-scale maps, TemplatedVocabulary.h).
         if n_words is None:
             n_words = int(min(max(1024, 4 * cfg.cap.max_kfs), 16384))
+        # capacity invariant (artifacts/vocab_scale_r4): separation
+        # scales ~W/K, reliable detection needs W ≳ 4·max_kfs, and W is
+        # capped at 16384 (a wider flat bank stops paying for itself as
+        # a matmul width) — so maps past ~4096 KFs re-enter the
+        # collapse regime. DBoW2's hierarchical ~1M-leaf tree
+        # (TemplatedVocabulary.h:1090-1232) is the structure that keeps
+        # separating beyond that; until a two-level bank exists, raising
+        # max_kfs past W/4 must be a loud, visible decision.
+        if n_words < 4 * cfg.cap.max_kfs:
+            import warnings
+
+            warnings.warn(
+                f"flat vocabulary width W={n_words} < 4*max_kfs="
+                f"{4 * cfg.cap.max_kfs}: loop-detection score separation "
+                "collapses as the map fills (artifacts/vocab_scale_r4). "
+                "Keep max_kfs <= W/4 or expect missed/false loop "
+                "closures at scale.",
+                stacklevel=2,
+            )
         self.n_words = n_words
         # optional jax.sharding.Mesh: with >1 device the global solvers
         # and the BoW bank run sharded (BASELINE north-star config 5 —

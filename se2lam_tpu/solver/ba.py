@@ -452,11 +452,37 @@ def _solve_inner(prob, cam, Tcb, cfg, lam):
 
     Hpp, bp, Hxx, bx, Hpx, chi2 = _assemble(prob, cam, Tcb, cfg)
 
-    # LM damping on block diagonals
+    # LM damping on block diagonals — Marquardt (λ·diag(H)), NOT
+    # additive λI: the SE2-XYZ system's curvature spans ~11 decades
+    # (pose-θ rows ~1e6 from hundreds of f=260 reprojections, weak
+    # point-depth rows ~1) so a shared additive λ either crushes the
+    # sloppy directions or leaves the stiff ones untouched — observed
+    # as mid-run LM stalls (chi2 stuck, λ→1e2, steps rejected) that
+    # dragged the whole KF chain (artifacts/drift_study_r5). Same fix
+    # the distributed PCG already carries (parallel/dist_ba.py).
     eyeK = jnp.eye(3, dtype=dtype)
     diag_idx = jnp.arange(K)
-    Hpp = Hpp.at[diag_idx, diag_idx].add(lam * eyeK[None])
-    Hxx = Hxx + lam * eyeK[None]
+    # Per-direction floors are BLOCK-relative: a 2-observation
+    # zero-parallax point has ~zero curvature along its depth direction,
+    # and λ·d with d≈0 damps nothing there — the GN step explodes along
+    # the null direction, chi2 rises, every step is rejected and the
+    # window stalls at λ≈1e2. Flooring each direction at 1e-3 of its
+    # block's stiffest direction keeps the damped step bounded in every
+    # direction without touching well-conditioned blocks.
+    dpp = jnp.diagonal(
+        Hpp[diag_idx, diag_idx], axis1=-2, axis2=-1
+    )                                                   # (K, 3)
+    dpp = jnp.maximum(
+        dpp, 1e-3 * jnp.max(dpp, axis=-1, keepdims=True) + 1e-6
+    )
+    Hpp = Hpp.at[diag_idx, diag_idx].add(
+        lam * dpp[..., None] * eyeK[None]
+    )
+    dxx = jnp.diagonal(Hxx, axis1=-2, axis2=-1)         # (M, 3)
+    dxx = jnp.maximum(
+        dxx, 1e-3 * jnp.max(dxx, axis=-1, keepdims=True) + 1e-6
+    )
+    Hxx = Hxx + lam * dxx[..., None] * eyeK[None]
 
     # regularize + invert point blocks; invalid points get identity (their
     # rows of Hpx are zero so they contribute nothing to S)
