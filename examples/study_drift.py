@@ -117,7 +117,12 @@ def run_slam(cfg, world, gt, odo, enable_loops, frames_per_lap):
     from se2lam_tpu.io import ate_se2
     from se2lam_tpu.system import SlamSystem
 
-    slam = SlamSystem(cfg, enable_loops=enable_loops)
+    # "no loops" = the reference's faithful ablation: BoW loop
+    # detection off, but the GlobalMapper machinery (feature-edge
+    # maintenance + feat-graph-renewal GlobalBA,
+    # src/GlobalMapper.cpp:87-147) stays on — the reference has no
+    # switch that turns that off
+    slam = SlamSystem(cfg, enable_loops=True, detect_loops=enable_loops)
     for i in range(len(gt)):
         slam.process(world.render(gt[i]), odo[i])
     live = np.asarray([p for _, p in slam.trajectory])
@@ -131,6 +136,9 @@ def run_slam(cfg, world, gt, odo, enable_loops, frames_per_lap):
         "ate_corrected": round(float(ate_corr), 4),
         "lap_drift": lap_drift(corr, gt, frames_per_lap),
         "n_loops": int(n_loops),
+        "n_renewal_gbas": int(
+            slam._loop_closer.n_renewal_gbas if slam._loop_closer else 0
+        ),
         "n_kfs": int(slam.n_keyframes()),
         "n_mps": int(slam.n_map_points()),
     }, corr

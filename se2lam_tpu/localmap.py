@@ -236,10 +236,6 @@ def add_keyframe(
 
     # ---- (b) mint new MPs from triangulations (src/LocalMapper.cpp:148-166) --
     mint = (match_idx >= 0) & (m_ref < 0) & local_mp_valid & feats.valid[j]
-    rank = jnp.cumsum(mint.astype(jnp.int32)) - 1
-    slot = ms.n_mp + rank
-    ok = mint & (slot < M)
-    srow = jnp.where(ok, slot, M)           # drop overflow
 
     pos_w = se3.apply(Twc_ref, local_mps)
     view_dir = pos_w - cam_center_ref
@@ -249,6 +245,11 @@ def add_keyframe(
     min_d, max_d = _octave_dist_gates(
         ref_octave, dist, cfg.scale_factor, cfg.max_level
     )
+
+    rank = jnp.cumsum(mint.astype(jnp.int32)) - 1
+    slot = ms.n_mp + rank
+    ok = mint & (slot < M)
+    srow = jnp.where(ok, slot, M)           # drop overflow
 
     ms = ms._replace(
         mp_pos=ms.mp_pos.at[srow].set(pos_w, mode="drop"),
@@ -1029,9 +1030,15 @@ def compact_map(ms: MapState):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("hops",))
-def local_graph_masks(ms: MapState, cur_kf, hops: int = 2):
+def local_graph_masks(ms: MapState, cur_kf, hops: int = 3):
     """Multi-hop covisibility BFS from the current KF
-    (Map::updateLocalGraph, src/Map.cpp:285-331).
+    (Map::updateLocalGraph, src/Map.cpp:285-331; ``hops`` matches the
+    reference's ``searchLevel = 3``, src/Map.cpp:299-308 — each BFS
+    round is one adjacency expansion of the local-KF set. Rounds 4-2
+    change which KFs survive ``build_local_ba``'s newest-first window
+    truncation only when the 2-hop set is smaller than
+    ``cap.local_kfs``; r5 A/B on the 3-lap drift study measured 3 hops
+    ≤ 2 hops on ATE, so parity costs nothing).
 
     Returns (local_kf_mask, ref_kf_mask, local_mp_mask):
     - local KFs: reachable within ``hops`` covisibility/odometry hops
@@ -1124,7 +1131,14 @@ def build_local_ba(ms: MapState, cur_kf, cfg: SystemConfig) -> LocalWindow:
 
     local_kfs, ref_kfs, local_mps = local_graph_masks(ms, cur_kf)
 
-    # newest local KFs first (sliding window); lowest-id ref KFs
+    # newest local KFs first (sliding window); lowest-id ref KFs.
+    # Local KFs beyond the Wl budget are DROPPED, not demoted to the
+    # fixed frontier: an r5 A/B tried demotion (the reference's
+    # unbounded local graph keeps every covisible KF as a vertex,
+    # src/Map.cpp:299-331, so truncation semantics are ours to choose)
+    # and it measurably HURT (seed-3 slam_pg corrected 0.059 → 0.132) —
+    # pinning recent, still-drifted keyframes as fixed anchors stiffens
+    # the window against exactly the corrections GlobalBA applies.
     idxf = jnp.arange(K, dtype=dtype)
     _, loc_ids = jax.lax.top_k(jnp.where(local_kfs, idxf, -jnp.inf), Wl)
     loc_sel = local_kfs[loc_ids]

@@ -783,7 +783,8 @@ def run_global_ba_joint_dist(
     "have_vocab",
 ))
 def loop_stage(
-    ms: MapState, k, bank, vocab, last_loop, key, cfg: SystemConfig,
+    ms: MapState, k, bank, vocab, last_loop, gba_cooldown, key,
+    cfg: SystemConfig,
     n_trials: int, gba_iters: int, joint_iters: int, min_between: int,
     have_vocab: bool = True,
 ):
@@ -863,17 +864,40 @@ def loop_stage(
     cand_c = jnp.clip(loop_cand, 0)
     midx = midx_b[-1]
 
-    def do_close(m):
-        m = add_ftr_edge(
-            m, cand_c, k, meas_b[-1], info_b[-1], evict_if_full=True
-        )
-        m = merge_loop_mps(m, k, cand_c, midx)
+    # feat-graph-renewal GlobalBA trigger (src/GlobalMapper.cpp:87-147:
+    # `!mbGlobalBALastLoop && (bIfLoopCloseVerified ||
+    # bIfFeatGraphRenewed)`): a new sparsified feature edge — typically
+    # a drifted revisit that became covisible without a BoW-verified
+    # closure — is a global constraint and the reference corrects the
+    # whole trajectory on it immediately. The cooldown scalar carries
+    # mbGlobalBALastLoop's suppress-right-after-one-ran semantics as
+    # device state.
+    renew_fire = (~fire) & (n_feat > 0) & ~jnp.asarray(gba_cooldown)
+    any_gba = fire | renew_fire
+
+    def do_correct(m):
+        def close(mm):
+            mm = add_ftr_edge(
+                mm, cand_c, k, meas_b[-1], info_b[-1], evict_if_full=True
+            )
+            return merge_loop_mps(mm, k, cand_c, midx)
+
+        # merge + joint polish only on a verified closure; the
+        # pose-graph GlobalBA program is SHARED between both triggers
+        # (one compilation, reference parity: GlobalBA() is the same
+        # call for both, src/GlobalMapper.cpp:144)
+        m = jax.lax.cond(fire, close, lambda mm: mm, m)
         m, _ = run_global_ba(m, iters=gba_iters, huber=cfg.gm_pg_huber)
         if joint_iters > 0:
-            m, _ = run_global_ba_joint(m, cfg, iters=joint_iters)
+            m = jax.lax.cond(
+                fire,
+                lambda mm: run_global_ba_joint(mm, cfg, iters=joint_iters)[0],
+                lambda mm: mm,
+                m,
+            )
         return m
 
-    ms = jax.lax.cond(fire, do_close, lambda m: m, ms)
+    ms = jax.lax.cond(any_gba, do_correct, lambda m: m, ms)
     new_last = jnp.where(
         fire, jnp.stack([cand_c, k]), jnp.asarray(last_loop, i32)
     )
@@ -885,6 +909,8 @@ def loop_stage(
         "n_feat_edges": n_feat,
         "midx": midx,
         "last_loop": new_last,
+        "renewal_gba": renew_fire,
+        "cooldown": any_gba,
     }
     return ms, bank, outs
 
@@ -901,8 +927,17 @@ class LoopCloser:
         retrain_factor: float = 2.0,
         global_ba_iters: int | None = None,
         mesh=None,
+        detect_loops: bool = True,
     ):
+        """``detect_loops=False`` disables BoW loop detection/verify/
+        merge but keeps the rest of the GlobalMapper: feature-edge
+        maintenance AND the feat-graph-renewal GlobalBA trigger. The
+        reference has no switch that turns its GlobalMapper off — its
+        "no loop closing" still runs `bIfFeatGraphRenewed → GlobalBA`
+        (src/GlobalMapper.cpp:87-147) — so this, not a null closer, is
+        the faithful loop-ablated configuration."""
         self.cfg = cfg
+        self.detect_loops = detect_loops
         # flat-vocabulary size scales with the keyframe capacity: the
         # L1 score separation between a true revisit and the best
         # impostor collapses when many keyframes share words — measured
@@ -964,6 +999,13 @@ class LoopCloser:
         self.key = jax.random.PRNGKey(42)
         self._n_loops_closed = 0
         self._n_ftr_evicted = 0    # bank-full closures that evicted an edge
+        # feat-graph-renewal GlobalBA bookkeeping: the reference runs a
+        # global correction on EITHER a verified closure OR a renewed
+        # feature graph, suppressed right after one ran
+        # (mbGlobalBALastLoop, src/GlobalMapper.cpp:142-155)
+        self._gba_cooldown = False
+        self._cooldown_dev = jnp.asarray(False)   # fused-path mirror
+        self._n_renewal_gbas = 0
         self._last_loop_host: tuple[int, int] | None = None
         self.last_loop_midx = None          # (N,) loop→cur feature matches
         self.last_global_ba_info: dict | None = None
@@ -989,14 +1031,16 @@ class LoopCloser:
             return
         outs, self._outs_pending = self._outs_pending, []
         vals = jax.device_get(
-            [(o["fired"], o["cand"], o["k"], o["evicted"]) for o in outs]
+            [(o["fired"], o["cand"], o["k"], o["evicted"],
+              o.get("renewal_gba", False)) for o in outs]
         )
-        for (fired, cand, kk, ev), o in zip(vals, outs):
+        for (fired, cand, kk, ev, ren), o in zip(vals, outs):
             if bool(fired):
                 self._n_loops_closed += 1
                 self._last_loop_host = (int(cand), int(kk))
                 self._last_loop_dev = o["last_loop"]
                 self.last_loop_midx = o["midx"]
+            self._n_renewal_gbas += int(bool(ren))
             self._n_ftr_evicted += int(ev)
 
     @property
@@ -1008,6 +1052,11 @@ class LoopCloser:
     def n_ftr_evicted(self) -> int:
         self._drain_outs()
         return self._n_ftr_evicted
+
+    @property
+    def n_renewal_gbas(self) -> int:
+        self._drain_outs()
+        return self._n_renewal_gbas
 
     @property
     def last_loop(self) -> tuple[int, int] | None:
@@ -1033,11 +1082,14 @@ class LoopCloser:
         the trace complexity)."""
         self.last_kf_pulls = 0
         self._n_inserts += 1
-        have_vocab = self._ensure_vocab(ms, n_inserts=self._n_inserts)
+        have_vocab = self.detect_loops and self._ensure_vocab(
+            ms, n_inserts=self._n_inserts
+        )
         self.key, sub = jax.random.split(self.key)
         ms, bank, outs = loop_stage(
             ms, k, self.bank if have_vocab else jnp.zeros((1, 1)),
-            self.vocab, self._last_loop_dev, sub, self.cfg,
+            self.vocab, self._last_loop_dev, self._cooldown_dev, sub,
+            self.cfg,
             n_trials=self.cfg.cap.ransac_trials,
             gba_iters=self.global_ba_iters,
             joint_iters=self.cfg.gm_joint_ba_iters,
@@ -1047,6 +1099,7 @@ class LoopCloser:
         if have_vocab:
             self.bank = bank
         self._last_loop_dev = outs["last_loop"]
+        self._cooldown_dev = outs["cooldown"]
         self._outs_pending.append(outs)
         return ms
 
@@ -1125,7 +1178,9 @@ class LoopCloser:
         k = int(k)
         self.last_kf_pulls = 0
         self._n_inserts += 1
-        have_vocab = self._ensure_vocab(ms, n_inserts=self._n_inserts)
+        have_vocab = self.detect_loops and self._ensure_vocab(
+            ms, n_inserts=self._n_inserts
+        )
         # dispatch the feat-edge candidate selection AND the BoW detect
         # together, so both come back in ONE pull.
         # select_feat_pairs reads the pre-feat-edge graph and the detect
@@ -1193,6 +1248,7 @@ class LoopCloser:
             # syncs stay ≤2 even when candidates fire
             feat_cands = [int(c) for c in cands if int(c) >= 0]
             if loop_cand < 0 and not feat_cands:
+                self._gba_cooldown = False   # src/GlobalMapper.cpp:151-155
                 return ms, None, False
             # two compiled widths only: 1 (the common loop-candidate-
             # only case — padding to 5 would 5× the verify compute per
@@ -1225,6 +1281,7 @@ class LoopCloser:
 
         # sparsified feature edges (one per passing candidate; the
         # verify/chi2 gates play CreateFeatEdge's failure path)
+        feat_renewed = False
         for c, cand_c in enumerate(feat_cands):
             if int(n_mp_h[c]) < 10 or int(n_good_h[c]) < 10:
                 continue
@@ -1232,8 +1289,39 @@ class LoopCloser:
                 ms, jnp.asarray(cand_c), jnp.asarray(k),
                 meas_b[c], info_b[c],
             )
+            feat_renewed = True
+        def renewal_or_clear(ms):
+            # feat-graph-renewal GlobalBA (src/GlobalMapper.cpp:142-147:
+            # `!mbGlobalBALastLoop && (verified || RENEWED)`): a new
+            # sparsified feature edge — typically a drifted revisit that
+            # became covisible without a BoW-verified closure — is a
+            # global constraint, and the reference corrects the whole
+            # trajectory on it immediately. This is the online
+            # correction path that exists WITHOUT loop closing; it also
+            # runs when a detected loop fails verification.
+            if feat_renewed and not self._gba_cooldown:
+                if self._dist:
+                    ms, gba_info = run_global_ba_dist(
+                        ms, self.mesh, iters=self.global_ba_iters,
+                        huber=cfg.gm_pg_huber,
+                    )
+                else:
+                    ms, gba_info = run_global_ba(
+                        ms, iters=self.global_ba_iters,
+                        huber=cfg.gm_pg_huber,
+                    )
+                self._gba_cooldown = True
+                self._n_renewal_gbas += 1
+                self.last_global_ba_info = gba_info
+                return ms, True
+            # no GBA this KF -> clear (the reference's else branch,
+            # src/GlobalMapper.cpp:151-155)
+            self._gba_cooldown = False
+            return ms, False
+
         if loop_cand < 0:
-            return ms, None, False
+            ms, corrected = renewal_or_clear(ms)
+            return ms, None, corrected
 
         n_kp, n_mp, n_cur, n_good = (
             int(n_kp_h[-1]), int(n_mp_h[-1]),
@@ -1243,10 +1331,10 @@ class LoopCloser:
             n_mp < cfg.gm_vcl_num_min_match_mp
             or n_kp < cfg.gm_vcl_num_min_match_kp
             or n_mp < cfg.gm_vcl_ratio_min_match_mp * max(n_cur, 1)
+            or n_good < cfg.gm_vcl_num_min_match_mp
         ):
-            return ms, None, False
-        if n_good < cfg.gm_vcl_num_min_match_mp:
-            return ms, None, False
+            ms, corrected = renewal_or_clear(ms)
+            return ms, None, corrected
 
         if bool(bank_full):
             # constraint bank full: add_ftr_edge evicts its lowest-
@@ -1282,6 +1370,7 @@ class LoopCloser:
                 )
             gba_info = {**gba_info, "joint": joint_info}
         self._n_loops_closed += 1
+        self._gba_cooldown = True
         self.last_loop = (cand, k)          # setter syncs the dev mirror
         self.last_loop_midx = midx          # for the debug-image loop pane
         self.last_global_ba_info = gba_info

@@ -77,7 +77,8 @@ class SlamSystem:
     """
 
     def __init__(self, cfg: SystemConfig, enable_loops: bool = True,
-                 mesh=None, async_mapping: bool = True):
+                 mesh=None, async_mapping: bool = True,
+                 detect_loops: bool = True):
         """``mesh``: optional ``jax.sharding.Mesh``. With >1 device the
         global mapping stage runs distributed — pose-graph GlobalBA as
         edge-sharded matrix-free PCG, joint full-map GBA as map-block
@@ -166,8 +167,16 @@ class SlamSystem:
         if enable_loops:
             from .loopclose import LoopCloser
 
-            self._loop_closer = LoopCloser(cfg, mesh=mesh)
+            self._loop_closer = LoopCloser(
+                cfg, mesh=mesh, detect_loops=detect_loops
+            )
         else:
+            # NOTE: the reference cannot turn its GlobalMapper off — the
+            # faithful "no loop closing" ablation is
+            # ``detect_loops=False`` (keeps feature-edge maintenance and
+            # the feat-graph-renewal GlobalBA); ``enable_loops=False``
+            # disables the whole global stage and exists for tests and
+            # pure-tracking benchmarks
             self._loop_closer = None
         self._pending_odo = None
         self._pending_img = None

@@ -143,12 +143,16 @@ def test_chunked_closes_loops_too():
     closer) — a revisit closes a loop exactly as in per-frame mode."""
     cfg = _cfg().replace(
         gm_dcl_min_kfid_offset=8,
-        gm_vcl_num_min_match_mp=6,
+        # r5: gate 5 + a 28-frame revisit — the old 6/20-frame scenario
+        # closed its loop with EXACTLY 6 MP matches, so any behavior-
+        # preserving change that perturbs one association flipped this
+        # test; the parity assertion only needs *a* closure, robustly
+        gm_vcl_num_min_match_mp=5,
         gm_vcl_num_min_match_kp=15,
     )
     world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
     lap = world.circle_trajectory(48)
-    gt = np.concatenate([lap, lap[:20]])
+    gt = np.concatenate([lap, lap[:28]])
     odo = world.odometry(gt, noise=(0.004, 0.002, 0.002), seed=3)
 
     slam = SlamSystem(cfg, enable_loops=True)
@@ -208,12 +212,16 @@ def test_chunk_async_closes_loops_and_matches():
     stage): same closures, same trajectory as the sync chunked feed."""
     cfg = _cfg().replace(
         gm_dcl_min_kfid_offset=8,
-        gm_vcl_num_min_match_mp=6,
+        # r5: gate 5 + a 28-frame revisit — the old 6/20-frame scenario
+        # closed its loop with EXACTLY 6 MP matches, so any behavior-
+        # preserving change that perturbs one association flipped this
+        # test; the parity assertion only needs *a* closure, robustly
+        gm_vcl_num_min_match_mp=5,
         gm_vcl_num_min_match_kp=15,
     )
     world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
     lap = world.circle_trajectory(48)
-    gt = np.concatenate([lap, lap[:20]])
+    gt = np.concatenate([lap, lap[:28]])
     odo = world.odometry(gt, noise=(0.004, 0.002, 0.002), seed=3)
     frames = [(world.render(g), o) for g, o in zip(gt, odo)]
 

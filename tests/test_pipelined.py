@@ -69,12 +69,16 @@ def test_pipelined_closes_loops_and_matches():
     modes), so trajectories match bitwise even across a loop closure."""
     cfg = _cfg().replace(
         gm_dcl_min_kfid_offset=8,
-        gm_vcl_num_min_match_mp=6,
+        # r5: gate 5 + a 28-frame revisit — the old 6/20-frame scenario
+        # closed its loop with EXACTLY 6 MP matches, so any behavior-
+        # preserving change that perturbs one association flipped this
+        # test; the parity assertion only needs *a* closure, robustly
+        gm_vcl_num_min_match_mp=5,
         gm_vcl_num_min_match_kp=15,
     )
     world = SyntheticWorld(cfg, n_landmarks=500, room=10.0, seed=4)
     lap = world.circle_trajectory(48)
-    gt = np.concatenate([lap, lap[:20]])
+    gt = np.concatenate([lap, lap[:28]])
     odo = world.odometry(gt, noise=(0.004, 0.002, 0.002), seed=3)
     frames = [(world.render(g), o) for g, o in zip(gt, odo)]
 
