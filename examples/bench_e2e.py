@@ -44,6 +44,16 @@ def main():
                          "mode (process_async)")
     ap.add_argument("--depth", type=int, nargs="*", default=[3],
                     help="pipeline depths to time with --pipelined")
+    ap.add_argument("--paired", default="",
+                    help="interleaved paired A/B: two comma-separated "
+                         "modes from {chunked, chunk_async, per_frame, "
+                         "pipelined_dN}; runs A,B,A,B,... each trial a "
+                         "fresh system on identical frames, reports "
+                         "per-pair deltas + sign count. Sequential "
+                         "same-session A/B is the WRONG protocol at "
+                         "this hardware's ±20% session variance "
+                         "(r4 VERDICT weak #4) — this is the right one.")
+    ap.add_argument("--pairs", type=int, default=10)
     ap.add_argument("--ab-sync", action="store_true",
                     help="also time async_mapping=False (the inline "
                          "loop stage) in the SAME session for a fair "
@@ -106,6 +116,62 @@ def main():
         return time.perf_counter() - t0
 
     results = {"chunk": k, "frames": n, "backend": jax.default_backend()}
+
+    def run_mode(mode: str):
+        slam_m = SlamSystem(cfg, enable_loops=True)
+        if mode.startswith("pipelined_d"):
+            slam_m.pipeline_depth = int(mode.split("_d")[1])
+        kw = dict(
+            chunked=(mode == "chunked"),
+            pipelined=mode.startswith("pipelined"),
+            chunk_async=(mode == "chunk_async"),
+        )
+        run(lo=0, hi=n_warm, slam=slam_m, **kw)
+        t = run(lo=n_warm, hi=total, slam=slam_m, **kw)
+        return n / t
+
+    if args.paired:
+        mode_a, mode_b = args.paired.split(",")
+        fps_a, fps_b = [], []
+        for p in range(args.pairs):
+            fa = run_mode(mode_a)
+            fb = run_mode(mode_b)
+            fps_a.append(round(fa, 1))
+            fps_b.append(round(fb, 1))
+            print(f"pair {p}: {mode_a} {fa:.1f} fps | "
+                  f"{mode_b} {fb:.1f} fps | delta {fb - fa:+.1f}",
+                  flush=True)
+        deltas = [b - a for a, b in zip(fps_a, fps_b)]
+        results["paired"] = {
+            "mode_a": mode_a, "mode_b": mode_b,
+            "fps_a": fps_a, "fps_b": fps_b,
+            "median_a": round(float(np.median(fps_a)), 1),
+            "median_b": round(float(np.median(fps_b)), 1),
+            "median_delta": round(float(np.median(deltas)), 1),
+            "b_wins": int(sum(d > 0 for d in deltas)),
+            "pairs": args.pairs,
+        }
+        print(f"paired {mode_a} vs {mode_b}: medians "
+              f"{results['paired']['median_a']} vs "
+              f"{results['paired']['median_b']} fps, median delta "
+              f"{results['paired']['median_delta']:+.1f}, "
+              f"{mode_b} wins {results['paired']['b_wins']}/{args.pairs}")
+        # merge into any existing E2E_BENCH.json rather than clobbering
+        # the absolute-throughput records
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    prev = json.load(f)
+                prev.setdefault("paired_runs", []).append(results["paired"])
+                prev["paired"] = results["paired"]
+                results = prev
+            except Exception:
+                pass
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+        print(f"wrote {args.out}")
+        return
 
     slam = SlamSystem(cfg, enable_loops=True)
     warm_s = run(True, 0, n_warm, slam)

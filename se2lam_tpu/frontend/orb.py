@@ -398,25 +398,18 @@ def _select_level_keypoints(cfg: OrbConfig, s_high, s_low, s_low_raw,
     cells = jnp.where(use_high, cells_high, cells_low)
 
     n_cells = ncy * ncx
-    # Per-cell candidates via repeated masked argmax (max-reductions are
-    # VPU-native; a per-cell top_k would sort every cell's pixels). The
+    # Per-cell candidates via ONE lax.top_k over each cell's pixels. The
     # reference's surplus-redistribution loop (src/ORBextractor.cpp:653-679)
     # becomes a two-phase priority: each cell's best candidate outranks
     # every cell's k-th candidate, and the global top-k fills the quota.
+    # History: round 2 measured per-cell top_k LOSING to a repeated
+    # masked-argmax loop (~1.5 ms) and this ran argmax+take_along_axis
+    # for two rounds; the round-5 A/B on the CURRENT code
+    # (examples/bench_select.py) flips it — the k_cell=6 loop's
+    # take_along_axis gathers and mask rewrites cost more than one
+    # fused sort (extract 1.24 → 0.91 ms/frame, identical outputs).
     k_cell = max(2, min(6, -(-2 * quota // n_cells)))
-    cands_s, cands_i = [], []
-    cur = cells
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
-    for r in range(k_cell):
-        idx = jnp.argmax(cur, axis=1)                     # (n_cells,)
-        sc = jnp.take_along_axis(cur, idx[:, None], axis=1)[:, 0]
-        cands_s.append(sc)
-        cands_i.append(idx)
-        if r + 1 < k_cell:
-            cur = jnp.where(col_iota == idx[:, None], -jnp.inf, cur)
-
-    top_scores = jnp.stack(cands_s, axis=1)               # (n_cells, k)
-    top_idx = jnp.stack(cands_i, axis=1)
+    top_scores, top_idx = jax.lax.top_k(cells, k_cell)    # (n_cells, k)
     rank = jax.lax.broadcasted_iota(jnp.int32, top_scores.shape, 1)
     nonzero = top_scores > 0.0
     # rank-major priority with the score as tie-breaker WITHIN a tier.
