@@ -276,8 +276,15 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
                 cfg.accum,
             )
 
-            # local point elimination
-            Hxx = Hxx + lam * eye3[None]
+            # local point elimination — Marquardt damping with
+            # block-relative floors, EXACTLY as the single-device solver
+            # (solver/ba.py _solve_inner): point blocks are
+            # device-local, so the math is bitwise-shared
+            dxx = jnp.diagonal(Hxx, axis1=-2, axis2=-1)
+            dxx = jnp.maximum(
+                dxx, 1e-3 * jnp.max(dxx, axis=-1, keepdims=True) + 1e-6
+            )
+            Hxx = Hxx + lam * dxx[..., None] * eye3[None]
             Hxx_safe = jnp.where(
                 pv_sh[:, None, None], Hxx + cfg.eps * eye3[None],
                 eye3[None],
@@ -287,11 +294,17 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             # fused Pallas kernel at bank-scale Mb on TPU (solver/ba.py)
             S_p, b_p = schur_reduce(Hpp_p, bp_p, Hpx, Hxx_inv, bx)
 
-            # ONE collective: reduce the Schur-reduced camera systems
-            S = jax.lax.psum(S_p, axis)
-            b_red = jax.lax.psum(b_p, axis)
-            chi2 = jax.lax.psum(
-                jnp.sum(jnp.where(dp.obs_valid, chi_o, 0.0)), axis
+            # ONE collective round: reduce the Schur-reduced camera
+            # systems (plus the tiny (K, 3) pose-Hessian diagonal the
+            # Marquardt damping needs — single-device damps the
+            # UNREDUCED Hpp diagonal, so parity requires the psum'd one)
+            dpp_p = jnp.diagonal(
+                Hpp_p[diag_idx, diag_idx], axis1=-2, axis2=-1
+            )
+            S, b_red, dpp_obs, chi2 = jax.lax.psum(
+                (S_p, b_p, dpp_p,
+                 jnp.sum(jnp.where(dp.obs_valid, chi_o, 0.0))),
+                axis,
             )
 
             # odometry edges: replicated compute added post-reduction
@@ -310,7 +323,22 @@ def _make_dist_solver(mesh: Mesh, axis: str, cfg: BAConfig):
             )
             chi2 = chi2 + jnp.sum(jnp.where(dp.edge_valid, chi_e, 0.0))
 
-            S = S.at[diag_idx, diag_idx].add(lam * eye3[None])
+            # Marquardt on the total (obs + odometry-edge) Hpp diagonal,
+            # block-relative floors — the single-device _solve_inner's
+            # damping verbatim
+            dpp = dpp_obs
+            dpp = dpp.at[dp.edge_i].add(
+                jnp.diagonal(JiW @ Ji, axis1=-2, axis2=-1)
+            )
+            dpp = dpp.at[dp.edge_j].add(
+                jnp.diagonal(JjW @ Jj, axis1=-2, axis2=-1)
+            )
+            dpp = jnp.maximum(
+                dpp, 1e-3 * jnp.max(dpp, axis=-1, keepdims=True) + 1e-6
+            )
+            S = S.at[diag_idx, diag_idx].add(
+                lam * dpp[..., None] * eye3[None]
+            )
             S_d = S.transpose(0, 2, 1, 3).reshape(3 * K, 3 * K)
             b_d = b_red.reshape(3 * K)
             S_d = S_d * free3[:, None] * free3[None, :] + jnp.diag(

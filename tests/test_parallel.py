@@ -52,10 +52,20 @@ def test_sharded_ba_matches_single_device(rng, n_dev, accum):
     p2, x2, info2 = sharded_solve_local_ba(prob, cam, Tcb, cfg, mesh)
 
     assert int(info2["n_obs_dropped"]) == 0
-    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-3)
+    # atol 5e-4: at 8 shards the psum order differs from the
+    # single-device accumulation order; the r5 Marquardt damping tracks
+    # per-direction curvature, so that f32 noise reaches the pose
+    # estimates at the ~1e-4 absolute / ~7e-5 relative level (the old
+    # additive-lambda damping hid this by stalling on hard fixtures)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=2e-3)
+    # both solvers drive chi2 from ~1e4 to the 1e-4-scale noise floor of
+    # this exact-measurement problem; the floor itself is summation-order
+    # noise (the Marquardt λ trajectories decouple there), so the
+    # absolute tolerance must sit above it — pose/point parity above is
+    # the meaningful assertion
     np.testing.assert_allclose(
-        float(info1["chi2"]), float(info2["chi2"]), rtol=1e-2, atol=1e-5
+        float(info1["chi2"]), float(info2["chi2"]), rtol=1e-2, atol=1e-3
     )
 
 
