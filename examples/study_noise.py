@@ -37,6 +37,12 @@ def main():
                     help="multipliers on the base noise "
                          "(0.012, 0.006, 0.006)")
     ap.add_argument("--seed", type=int, default=4)
+    ap.add_argument("--odo-seeds", type=int, nargs="*", default=None,
+                    help="odometry draws per cell (default: the single "
+                         "r4-protocol draw); with several, the summary "
+                         "reports per-cell mean/std across draws — the "
+                         "r4 'matched non-monotone at 1x' anomaly was a "
+                         "single-draw artifact to confirm or dissolve")
     ap.add_argument("--out", default="artifacts/noise_study")
     args = ap.parse_args()
 
@@ -60,35 +66,59 @@ def main():
                                seed=args.seed)
         gt = np.asarray(world.circle_trajectory(args.frames_per_lap))
         gt = np.concatenate([gt] * int(np.ceil(args.laps)))[:n]
-        odo = world.odometry(
-            gt, noise=sim_noise, seed=args.seed + int(scale * 100),
-        )
-        ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
-        for mode, cfg_noise in (
-            ("default_0.001", (0.001, 0.001, 0.001)),
-            ("half", tuple(0.5 * base * scale)),
-            ("matched", sim_noise),
-            ("double", tuple(2.0 * base * scale)),
-        ):
-            cfg = build_cfg(odo_noise=cfg_noise)
-            res, _ = run_slam(cfg, world, gt, odo, True,
-                              args.frames_per_lap)
-            row = {
-                "noise_scale": scale,
-                "odo_cfg": mode,
-                "ate_odo": round(float(ate_odo), 4),
-                "ate_slam_live": res["ate_live"],
-                "ate_slam_corrected": res["ate_corrected"],
-                "n_loops": res["n_loops"],
-                "n_kfs": res["n_kfs"],
-            }
-            rows.append(row)
-            print(json.dumps(row), flush=True)
-            jax.clear_caches()   # one compile family per distinct cfg
+        odo_seeds = (args.odo_seeds if args.odo_seeds
+                     else [args.seed + int(scale * 100)])
+        for oseed in odo_seeds:
+            odo = world.odometry(gt, noise=sim_noise, seed=oseed)
+            ate_odo, _ = ate_se2(odo[:, :2], gt[:, :2])
+            for mode, cfg_noise in (
+                ("default_0.001", (0.001, 0.001, 0.001)),
+                ("half", tuple(0.5 * base * scale)),
+                ("matched", sim_noise),
+                ("double", tuple(2.0 * base * scale)),
+            ):
+                cfg = build_cfg(odo_noise=cfg_noise)
+                res, _ = run_slam(cfg, world, gt, odo, True,
+                                  args.frames_per_lap)
+                row = {
+                    "noise_scale": scale,
+                    "odo_cfg": mode,
+                    "odo_seed": oseed,
+                    "ate_odo": round(float(ate_odo), 4),
+                    "ate_slam_live": res["ate_live"],
+                    "ate_slam_corrected": res["ate_corrected"],
+                    "n_loops": res["n_loops"],
+                    "n_kfs": res["n_kfs"],
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+                jax.clear_caches()   # one compile family per cfg
 
+    summary = {}
+    if args.odo_seeds and len(args.odo_seeds) > 1:
+        for scale in args.scales:
+            for mode in ("default_0.001", "half", "matched", "double"):
+                cell = [r for r in rows
+                        if r["noise_scale"] == scale
+                        and r["odo_cfg"] == mode]
+                if not cell:
+                    continue
+                corr = np.asarray([r["ate_slam_corrected"] for r in cell])
+                odo_a = np.asarray([r["ate_odo"] for r in cell])
+                summary[f"{scale}x/{mode}"] = {
+                    "corrected_mean": round(float(corr.mean()), 4),
+                    "corrected_std": round(float(corr.std()), 4),
+                    "odo_mean": round(float(odo_a.mean()), 4),
+                    "beats_odo": f"{int((corr <= odo_a).sum())}/{len(cell)}",
+                }
+                print(f"{scale}x/{mode}: corrected "
+                      f"{corr.mean():.4f}±{corr.std():.4f} "
+                      f"(odo {odo_a.mean():.4f}, beats "
+                      f"{int((corr <= odo_a).sum())}/{len(cell)})",
+                      flush=True)
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump({"laps": args.laps, "base_noise": base.tolist(),
-                   "rows": rows}, f, indent=1)
+                   "rows": rows, "summary": summary}, f, indent=1)
     print("wrote", os.path.join(args.out, "results.json"))
 
 

@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--seed", type=int, default=4)
     ap.add_argument("--odo-seed", type=int, default=3)
     ap.add_argument("--local-iter", type=int, default=6)
+    ap.add_argument("--obs-sigma", type=float, default=1.0,
+                    help="keypoint sigma calibration (cfg.obs_sigma_px)")
     ap.add_argument("--no-proj", action="store_true",
                     help="disable stage (c) projection re-association")
     ap.add_argument("--proj-win", type=float, default=0.0,
@@ -111,6 +113,8 @@ def main():
     cfg = build_cfg()
     if args.local_iter != cfg.local_iter:
         cfg = cfg.replace(local_iter=args.local_iter)
+    if args.obs_sigma != 1.0:
+        cfg = cfg.replace(obs_sigma_px=args.obs_sigma)
     world = SyntheticWorld(cfg, n_landmarks=600, room=10.0, seed=args.seed)
     lap = world.circle_trajectory(args.frames_per_lap)
     n = int(args.laps * args.frames_per_lap)
@@ -162,6 +166,35 @@ def main():
                 mp_pos, mp_valid & good_prl & cur_mask, world.landmarks)
             ba = slam.ba_log[-1] if slam.ba_log else {}
             kf_err_hist.append((i, errs))
+            # association correctness: project GT landmarks with the GT
+            # pose; a feature's generating landmark is the nearest
+            # projection within 3 px; the association is WRONG when the
+            # observed MP sits >0.5 m from that landmark
+            kf_slot = slam.n_keyframes() - 1
+            feat_xy = np.asarray(jax.device_get(ms.kf_xy[kf_slot]))
+            Twb4 = np.eye(4)
+            c4, s4 = np.cos(gt[i, 2]), np.sin(gt[i, 2])
+            Twb4[:2, :2] = [[c4, -s4], [s4, c4]]
+            Twb4[0, 3], Twb4[1, 3] = gt[i, 0], gt[i, 1]
+            Tcw4 = np.asarray(cfg.Tcb_mat) @ np.linalg.inv(Twb4)
+            pc4 = (Tcw4[:3, :3] @ world.landmarks.T).T + Tcw4[:3, 3]
+            zv = pc4[:, 2] > 0.3
+            uu = cfg.fx * pc4[:, 0] / np.where(zv, pc4[:, 2], 1) + cfg.cx
+            vv = cfg.fy * pc4[:, 1] / np.where(zv, pc4[:, 2], 1) + cfg.cy
+            lm_uv = np.stack([uu, vv], -1)
+            lm_uv[~zv] = 1e9
+            n_ok = n_wrong = 0
+            for fi in np.nonzero(obs_row >= 0)[0]:
+                d2 = np.linalg.norm(lm_uv - feat_xy[fi], axis=-1)
+                li = d2.argmin()
+                if d2[li] > 3.0:
+                    continue
+                mp_w = mp_pos[obs_row[fi]]
+                if np.linalg.norm(
+                        mp_w - world.landmarks[li]) > 0.5:
+                    n_wrong += 1
+                else:
+                    n_ok += 1
             odo_err = float(np.linalg.norm(odo[i, :2] - gt[i, :2]))
             print(
                 f"f{i:3d} KF{nkf - 1:2d} odo={odo_err:.3f} "
@@ -172,7 +205,8 @@ def main():
                 f"ph={mstats.get('phantom', 0)} dup={mstats.get('dup', 0)} "
                 f"| cur n={gstats.get('n', 0)} "
                 f"med={gstats.get('med', 0):.3f} "
-                f"p90={gstats.get('p90', 0):.3f} | ba={ba}"
+                f"p90={gstats.get('p90', 0):.3f} "
+                f"| assoc ok={n_ok} wrong={n_wrong} | ba={ba}"
             )
 
     live = np.asarray([p for _, p in slam.trajectory])

@@ -166,6 +166,19 @@ class SystemConfig:
     plane_motion_yrot_info: float = 1e6
     plane_motion_z_info: float = 1.0
 
+    # keypoint measurement noise calibration: level-0 pixel sigma of the
+    # frontend's keypoint localization, entering every reprojection
+    # edge's information as sigma_px^2 * level_sigma2[octave]. The
+    # reference hardcodes sigma_px = 1 (Sigma_u = I*Sigma2,
+    # src/Map.cpp:1030); this knob exists for the same reason
+    # odo_*_noise does — the estimator's noise model must match the
+    # measured sensor, and an overconfident vision model lets a few
+    # sparse (meter-noisy) map anchors override a calibrated odometry
+    # chain (artifacts/drift_study_r5). The shipped frontend's measured
+    # localization noise is ~1.1-1.6 px (examples/study_tri_accuracy.py)
+    obs_sigma_px: float = 1.0
+
+
     # BA budgets (src/Config.cpp:155-160)
     th_huber2: float = 25.0
     local_iter: int = 10
@@ -233,7 +246,10 @@ class SystemConfig:
     @property
     def level_sigma2(self) -> np.ndarray:
         return np.asarray(
-            [self.scale_factor ** (2 * l) for l in range(self.max_level)],
+            [
+                self.obs_sigma_px ** 2 * self.scale_factor ** (2 * l)
+                for l in range(self.max_level)
+            ],
             np.float32,
         )
 
