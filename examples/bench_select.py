@@ -198,14 +198,19 @@ def main():
 
     orig = orbmod._select_level_keypoints
     variants = {
-        "current": orig,
-        "maxred": variant_maxred(orbmod),
-        "topk": variant_topk(orbmod),
+        "current": (orig, None),
+        "maxred": (variant_maxred(orbmod), None),
+        "topk": (variant_topk(orbmod), None),
+        # FAST+NMS lowering A/B on the current selection code
+        "xla_fast": (orig, False),
+        "pallas_fast": (orig, True),
     }
     ref_out = None
-    for name, fn in variants.items():
+    for name, (fn, pallas_fast) in variants.items():
         orbmod._select_level_keypoints = fn
-        extract = orbmod.make_extractor(oc)
+        oc_v = (oc if pallas_fast is None
+                else oc._replace(use_pallas_fast=pallas_fast))
+        extract = orbmod.make_extractor(oc_v)
 
         @jax.jit
         def scan_extract(ims):

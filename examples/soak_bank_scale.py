@@ -108,7 +108,7 @@ def main():
                   f"inserts={n_inserts} "
                   f"kf_compactions={slam.capacity_compactions} "
                   f"mp_compactions={slam.mp_compactions} "
-                  f"vocab_retrains={getattr(lc, 'n_retrains', -1)} "
+                  f"vocab_retrains={lc.n_vocab_trainings} "
                   f"({time.time() - t0:.0f}s)", flush=True)
     slam._finish_loop_pending()
 
@@ -128,6 +128,8 @@ def main():
         "final_kfs": int(slam.n_keyframes()),
         "final_mps": int(slam.n_map_points()),
         "loops_closed": int(lc.n_loops_closed),
+        "renewal_gbas": int(lc.n_renewal_gbas),
+        "vocab_trainings": int(lc.n_vocab_trainings),
         "kf_compactions": int(slam.capacity_compactions),
         "mp_compactions": int(slam.mp_compactions),
         "max_loop_stage_pulls_per_kf": int(max_pulls),

@@ -60,6 +60,10 @@ class OrbConfig(NamedTuple):
     #                           reference's optional HarrisResponses,
     #                           src/ORBextractor.cpp:85-126; selection
     #                           stays FAST-ordered either way)
+    # FAST+NMS lowering: None = the fused Pallas kernel on TPU, the XLA
+    # spelling elsewhere (frontend/pallas_fast.py — band-resident VMEM
+    # compute instead of (16, H, W) HBM round-trips); True/False force
+    use_pallas_fast: bool | None = None
 
     @property
     def scales(self):
@@ -498,11 +502,22 @@ def make_extractor(cfg: OrbConfig):
             quota = cfg.level_quotas[l]
             if quota <= 0:
                 continue
-            sh_raw, sl_raw = fast_score_pair(
-                level_img, cfg.fast_high, cfg.fast_low
-            )
+            use_pallas = cfg.use_pallas_fast
+            if use_pallas is None:
+                use_pallas = jax.default_backend() == "tpu"
+            if use_pallas:
+                from .pallas_fast import fast_nms_pallas
+
+                nms_hi, nms_lo, sl_raw = fast_nms_pallas(
+                    level_img, cfg.fast_high, cfg.fast_low
+                )
+            else:
+                sh_raw, sl_raw = fast_score_pair(
+                    level_img, cfg.fast_high, cfg.fast_low
+                )
+                nms_hi, nms_lo = nms3x3(sh_raw), nms3x3(sl_raw)
             ys, xs, ys_f, xs_f, resp, valid = _select_level_keypoints(
-                cfg, nms3x3(sh_raw), nms3x3(sl_raw), sl_raw, quota
+                cfg, nms_hi, nms_lo, sl_raw, quota
             )
 
             # IC_Angle + blur-folded steered BRIEF from one shared patch

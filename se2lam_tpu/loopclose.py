@@ -1005,6 +1005,7 @@ class LoopCloser:
         # (mbGlobalBALastLoop, src/GlobalMapper.cpp:142-155)
         self._gba_cooldown = False
         self._cooldown_dev = jnp.asarray(False)   # fused-path mirror
+        self.n_vocab_trainings = 0
         self._n_renewal_gbas = 0
         self._last_loop_host: tuple[int, int] | None = None
         self.last_loop_midx = None          # (N,) loop→cur feature matches
@@ -1162,6 +1163,7 @@ class LoopCloser:
             ms,
         )   # adopt re-scores the whole bank under the new vocabulary
         self._trained_at_nkf = n_inserts
+        self.n_vocab_trainings += 1
         return True
 
     def start_async(self, ms: MapState, k) -> dict:
