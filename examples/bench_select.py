@@ -172,6 +172,93 @@ def variant_topk(orbmod):
     return _select
 
 
+def variant_ablate(orbmod, no_subpixel=False, no_priority=False,
+                   no_cells=False):
+    """Timing-only ablations of selection sub-stages (outputs WRONG for
+    no_priority/no_cells — the deltas locate the cost, nothing else)."""
+    import jax
+    import jax.numpy as jnp
+
+    def _select(cfg, s_high, s_low, s_low_raw, quota):
+        H, W = s_high.shape
+        border = jnp.zeros((H, W), bool).at[
+            cfg.edge: H - cfg.edge, cfg.edge: W - cfg.edge
+        ].set(True)
+        s_high = jnp.where(border, s_high, 0.0)
+        s_low = jnp.where(border, s_low, 0.0)
+        ncy, ncx, ch, cw = orbmod._level_grid(cfg, H, W, quota)
+
+        if no_cells:
+            # skip the reshape/transpose cell layout AND per-cell topk:
+            # flat global top-(quota) on the raw map (wrong semantics)
+            sel_p, sel = jax.lax.top_k(s_low.reshape(-1), quota)
+            valid = sel_p > 0.0
+            ys = jnp.clip(sel // W, cfg.edge, H - cfg.edge - 1)
+            xs = jnp.clip(sel % W, cfg.edge, W - cfg.edge - 1)
+            resp = sel_p
+        else:
+            def to_cells(s):
+                pad_h = ncy * ch - (H - 2 * cfg.edge)
+                pad_w = ncx * cw - (W - 2 * cfg.edge)
+                v = s[cfg.edge: H - cfg.edge, cfg.edge: W - cfg.edge]
+                v = jnp.pad(v, ((0, pad_h), (0, pad_w)))
+                return v.reshape(ncy, ch, ncx, cw).transpose(
+                    0, 2, 1, 3).reshape(ncy * ncx, ch * cw)
+
+            cells_high = to_cells(s_high)
+            cells_low = to_cells(s_low)
+            n_high = jnp.sum(cells_high > 0, axis=1)
+            use_high = (n_high > cfg.min_high_corners)[:, None]
+            cells = jnp.where(use_high, cells_high, cells_low)
+            n_cells = ncy * ncx
+            k_cell = max(2, min(6, -(-2 * quota // n_cells)))
+            top_scores, top_idx = jax.lax.top_k(cells, k_cell)
+            if no_priority:
+                flat_scores = top_scores.reshape(-1)
+                sel = jnp.arange(quota, dtype=jnp.int32)
+                sel_p = flat_scores[sel]
+            else:
+                rank = jax.lax.broadcasted_iota(
+                    jnp.int32, top_scores.shape, 1)
+                nonzero = top_scores > 0.0
+                tier = (k_cell - rank).astype(top_scores.dtype) * 8192.0
+                priority = jnp.where(
+                    nonzero, tier + jnp.minimum(top_scores, 8191.0),
+                    -jnp.inf)
+                flat_priority = priority.reshape(-1)
+                flat_scores = top_scores.reshape(-1)
+                sel_p, sel = jax.lax.top_k(flat_priority, quota)
+            cell_ids = jax.lax.broadcasted_iota(
+                jnp.int32, top_scores.shape, 0).reshape(-1)
+            flat_idx = top_idx.reshape(-1)
+            valid = sel_p > 0.0
+            resp = flat_scores[sel]
+            cid = cell_ids[sel]
+            within = flat_idx[sel]
+            cy, cx = cid // ncx, cid % ncx
+            wy, wx = within // cw, within % cw
+            ys = cfg.edge + cy * ch + wy
+            xs = cfg.edge + cx * cw + wx
+        if no_subpixel:
+            return (ys, xs, ys.astype(jnp.float32),
+                    xs.astype(jnp.float32), resp, valid)
+        nb = orbmod._gather3x3(s_low_raw, ys, xs)
+        s_c = nb[:, 1, 1]
+        s_l, s_r = nb[:, 1, 0], nb[:, 1, 2]
+        s_u, s_d = nb[:, 0, 1], nb[:, 2, 1]
+        denom_x = s_l - 2.0 * s_c + s_r
+        denom_y = s_u - 2.0 * s_c + s_d
+        dx_sub = jnp.where(
+            jnp.abs(denom_x) > 1e-6, 0.5 * (s_l - s_r) / denom_x, 0.0)
+        dy_sub = jnp.where(
+            jnp.abs(denom_y) > 1e-6, 0.5 * (s_u - s_d) / denom_y, 0.0)
+        xs_f = xs.astype(jnp.float32) + jnp.clip(dx_sub, -0.5, 0.5)
+        ys_f = ys.astype(jnp.float32) + jnp.clip(dy_sub, -0.5, 0.5)
+        return ys, xs, ys_f, xs_f, resp, valid
+
+    return _select
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -204,6 +291,11 @@ def main():
         # FAST+NMS lowering A/B on the current selection code
         "xla_fast": (orig, False),
         "pallas_fast": (orig, True),
+        # timing-only ablations (outputs wrong where noted in
+        # variant_ablate) — deltas locate the selection cost
+        "no_subpix": (variant_ablate(orbmod, no_subpixel=True), None),
+        "no_prio": (variant_ablate(orbmod, no_priority=True), None),
+        "no_cells": (variant_ablate(orbmod, no_cells=True), None),
     }
     ref_out = None
     for name, (fn, pallas_fast) in variants.items():
