@@ -37,19 +37,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_problem(rng, K, M, O):
-    """Synthetic window via the shared builder (__graft_entry__._ba_problem
-    — one copy of the geometry, z-clamped projections included)."""
+    """Synthetic window via the shared consistent-geometry builder
+    (solver.ba.synthetic_grid_ba — the r5 dryrun/test fixture; the old
+    random-scatter _ba_problem mixed near-zero-depth garbage
+    observations into the cost and was retired when it turned out the
+    additive-damped LM had been 'passing' parity on it by rejecting
+    every step)."""
     import jax.numpy as jnp
 
-    from __graft_entry__ import _ba_problem
     from se2lam_tpu.ops.camera import CameraModel
+    from se2lam_tpu.solver.ba import synthetic_grid_ba
 
     cam = CameraModel.create(500.0, 500.0, 320.0, 240.0)
     Tcb = jnp.asarray(
         np.array([[0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
                  np.float32)
     )
-    prob = _ba_problem(rng, K, M, O, cam, Tcb)
+    P = max(1, O // M)
+    prob, _ = synthetic_grid_ba(rng, K, M, P, cam, Tcb)
     return prob, cam, Tcb
 
 
