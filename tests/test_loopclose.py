@@ -397,3 +397,95 @@ def test_loop_closes_before_kf12_with_bootstrap_vocab(rng):
     assert closer.last_loop[1] < 12, (
         f"loop closed only at KF {closer.last_loop[1]}"
     )
+
+
+def test_feat_renewal_triggers_global_ba_with_cooldown(monkeypatch):
+    """The reference runs GlobalBA when the feature graph renews even
+    without a verified closure, suppressed right after one ran
+    (src/GlobalMapper.cpp:87-155). Drive the staged LoopCloser with a
+    detection-free config and a faked verify batch: the first renewal
+    must run a pose-graph GBA and report closed=True (gauge re-base),
+    the next must be suppressed by the cooldown, and a renewal after a
+    quiet keyframe must fire again."""
+    import jax.numpy as jnp
+
+    from se2lam_tpu import loopclose as lcm
+    from se2lam_tpu.loopclose import LoopCloser
+
+    K = 24
+    ms = _chain_map(K)
+    # consistent chain geometry so the pose-graph GBA is a well-posed
+    # near-no-op: poses along x, preintegration measures the true step
+    poses = jnp.stack(
+        [jnp.arange(K, dtype=jnp.float32),
+         jnp.zeros(K), jnp.zeros(K)], -1)
+    ms = ms._replace(
+        kf_pose=poses,
+        kf_pre_meas=jnp.where(
+            (ms.kf_pre_next >= 0)[:, None],
+            jnp.asarray([[1.0, 0.0, 0.0]]), 0.0),
+        kf_pre_cov=jnp.broadcast_to(
+            1e-4 * jnp.eye(3), (K, 3, 3)),
+        covis=ms.covis.at[23, 0].set(True).at[0, 23].set(True),
+    )
+
+    def fake_verify(ms_, k_, vec, keys, cfg_, n_trials):
+        C = vec.shape[0]
+        N = ms_.N
+        return (
+            jnp.full((C, N), -1, jnp.int32),        # midx
+            jnp.full((C,), 50, jnp.int32),          # n_kp
+            jnp.full((C,), 30, jnp.int32),          # n_mp >= 10
+            jnp.full((C,), 60, jnp.int32),          # n_cur
+            jnp.broadcast_to(jnp.zeros(3), (C, 3)),             # meas
+            jnp.broadcast_to(10.0 * jnp.eye(3), (C, 3, 3)),     # info
+            jnp.full((C,), 30, jnp.int32),          # n_good >= 10
+        )
+
+    monkeypatch.setattr(lcm, "verify_and_build_batch", fake_verify)
+
+    from synth_utils import make_cfg
+
+    lc = LoopCloser(make_cfg(16), detect_loops=False)
+
+    def drive(ms_, k):
+        pending = lc.start_async(ms_, k)
+        closed_any = False
+        while pending is not None:
+            fetched = lc._pull(pending["want"])
+            ms_, pending, closed = lc.advance(ms_, pending, fetched)
+            closed_any = closed_any or closed
+        return ms_, closed_any
+
+    # KF 23 is covisible with KF 0 at 23 hops -> feat candidate ->
+    # edge + renewal GBA
+    ms1, closed1 = drive(ms, 23)
+    assert closed1
+    assert lc.n_renewal_gbas == 1
+    assert int(jnp.sum(ms1.ftr_valid)) == 1
+    assert np.isfinite(np.asarray(ms1.kf_pose)).all()
+
+    # cooldown: an immediately following renewal is suppressed (the
+    # 22<->11 pair stays >5 hops even through the new 23<->0 edge)
+    ms1 = ms1._replace(
+        covis=ms1.covis.at[22, 11].set(True).at[11, 22].set(True))
+    ms2, closed2 = drive(ms1, 22)
+    assert not closed2
+    assert lc.n_renewal_gbas == 1
+    # the suppressed candidate did NOT add its edge either (the
+    # reference's UpdateFeatGraph still adds it; here the edge landed -
+    # only the GBA was suppressed)
+    assert int(jnp.sum(ms2.ftr_valid)) == 2
+
+    # a quiet keyframe (no candidates) clears the cooldown...
+    ms2 = ms2._replace(covis=jnp.zeros_like(ms2.covis))
+    ms3, closed3 = drive(ms2, 21)
+    assert not closed3
+    # ...so the next renewal fires again (16<->3 stays >5 hops even
+    # through both existing feature edges: direct 13, via 23-0 edge 11,
+    # via 22-11 edge 15)
+    ms3 = ms3._replace(
+        covis=ms3.covis.at[16, 3].set(True).at[3, 16].set(True))
+    _, closed4 = drive(ms3, 16)
+    assert closed4
+    assert lc.n_renewal_gbas == 2
