@@ -232,6 +232,16 @@ def main():
                   f"{slam3._loop_closer.n_loops_closed} loops; "
                   f"warm-up {warm3:.1f}s)")
 
+    # absolute runs must not clobber the paired-protocol record
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            for k in ("paired", "paired_runs", "protocol_note"):
+                if k in prev and k not in results:
+                    results[k] = prev[k]
+        except Exception:
+            pass
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
         f.write("\n")
