@@ -103,3 +103,19 @@ def test_read_cv_yaml_quoted_hash(tmp_path):
     assert y["map_file_path"] == "/data/run #3/map"
     assert y["other_path"] == "/a #b"
     assert y["fps"] == 30
+
+
+def test_obs_sigma_px_scales_level_sigma2():
+    """The keypoint-noise calibration knob enters every reprojection
+    edge through level_sigma2 (sigma_px^2 * scale^2l); default 1.0 is
+    reference parity (Sigma_u = I*levelSigma2, src/Map.cpp:1030)."""
+    import numpy as np
+
+    from se2lam_tpu.config import SystemConfig
+
+    base = SystemConfig()
+    calib = base.replace(obs_sigma_px=2.0)
+    np.testing.assert_allclose(
+        calib.level_sigma2, 4.0 * base.level_sigma2, rtol=1e-6
+    )
+    assert base.level_sigma2[0] == 1.0
