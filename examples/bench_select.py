@@ -240,6 +240,86 @@ def variant_arith(orbmod):
     return _select
 
 
+def variant_arith_maxred(orbmod):
+    """arith unpacking + max/argmax candidate loop instead of
+    lax.top_k (at the production config k_cell=2, two max-reductions
+    may beat one sort)."""
+    import jax
+    import jax.numpy as jnp
+
+    base = variant_arith(orbmod)
+
+    def _select(cfg, s_high, s_low, s_low_raw, quota):
+        H, W = s_high.shape
+        border = jnp.zeros((H, W), bool).at[
+            cfg.edge: H - cfg.edge, cfg.edge: W - cfg.edge
+        ].set(True)
+        s_high = jnp.where(border, s_high, 0.0)
+        s_low = jnp.where(border, s_low, 0.0)
+        ncy, ncx, ch, cw = orbmod._level_grid(cfg, H, W, quota)
+
+        def to_cells(s):
+            pad_h = ncy * ch - (H - 2 * cfg.edge)
+            pad_w = ncx * cw - (W - 2 * cfg.edge)
+            v = s[cfg.edge: H - cfg.edge, cfg.edge: W - cfg.edge]
+            v = jnp.pad(v, ((0, pad_h), (0, pad_w)))
+            return v.reshape(ncy, ch, ncx, cw).transpose(0, 2, 1, 3).reshape(
+                ncy * ncx, ch * cw)
+
+        cells_high = to_cells(s_high)
+        cells_low = to_cells(s_low)
+        n_high = jnp.sum(cells_high > 0, axis=1)
+        use_high = (n_high > cfg.min_high_corners)[:, None]
+        cells = jnp.where(use_high, cells_high, cells_low)
+        n_cells = ncy * ncx
+        k_cell = max(2, min(6, -(-2 * quota // n_cells)))
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+        cands_s, cands_i = [], []
+        cur = cells
+        for r in range(k_cell):
+            sc = jnp.max(cur, axis=1)
+            idx = jnp.argmax(cur, axis=1)
+            cands_s.append(sc)
+            cands_i.append(idx)
+            if r + 1 < k_cell:
+                cur = jnp.where(col_iota == idx[:, None], -jnp.inf, cur)
+        top_scores = jnp.stack(cands_s, axis=1)
+        top_idx = jnp.stack(cands_i, axis=1)
+        rank = jax.lax.broadcasted_iota(jnp.int32, top_scores.shape, 1)
+        nonzero = top_scores > 0.0
+        tier = (k_cell - rank).astype(top_scores.dtype) * 8192.0
+        priority = jnp.where(
+            nonzero, tier + jnp.minimum(top_scores, 8191.0), -jnp.inf)
+        sel_p, sel = jax.lax.top_k(priority.reshape(-1), quota)
+        valid = sel_p > 0.0
+        r_sel = sel % k_cell
+        cid = sel // k_cell
+        resp = jnp.where(
+            valid,
+            sel_p - (k_cell - r_sel).astype(sel_p.dtype) * 8192.0, 0.0)
+        within = top_idx.reshape(-1)[sel]
+        cy, cx = cid // ncx, cid % ncx
+        wy, wx = within // cw, within % cw
+        ys = cfg.edge + cy * ch + wy
+        xs = cfg.edge + cx * cw + wx
+        nb = orbmod._gather3x3(s_low_raw, ys, xs)
+        s_c = nb[:, 1, 1]
+        s_l, s_r = nb[:, 1, 0], nb[:, 1, 2]
+        s_u, s_d = nb[:, 0, 1], nb[:, 2, 1]
+        denom_x = s_l - 2.0 * s_c + s_r
+        denom_y = s_u - 2.0 * s_c + s_d
+        dx_sub = jnp.where(
+            jnp.abs(denom_x) > 1e-6, 0.5 * (s_l - s_r) / denom_x, 0.0)
+        dy_sub = jnp.where(
+            jnp.abs(denom_y) > 1e-6, 0.5 * (s_u - s_d) / denom_y, 0.0)
+        xs_f = xs.astype(jnp.float32) + jnp.clip(dx_sub, -0.5, 0.5)
+        ys_f = ys.astype(jnp.float32) + jnp.clip(dy_sub, -0.5, 0.5)
+        return ys, xs, ys_f, xs_f, resp, valid
+
+    del base
+    return _select
+
+
 def variant_ablate(orbmod, no_subpixel=False, no_priority=False,
                    no_cells=False):
     """Timing-only ablations of selection sub-stages (outputs WRONG for
@@ -362,6 +442,7 @@ def main():
         # timing-only ablations (outputs wrong where noted in
         # variant_ablate) — deltas locate the selection cost
         "arith": (variant_arith(orbmod), None),
+        "arith_maxred": (variant_arith_maxred(orbmod), None),
         "no_subpix": (variant_ablate(orbmod, no_subpixel=True), None),
         "no_prio": (variant_ablate(orbmod, no_priority=True), None),
         "no_cells": (variant_ablate(orbmod, no_cells=True), None),
